@@ -1,0 +1,75 @@
+"""cosmo_tpu — a TPU-native conic ADMM solver.
+
+A from-scratch JAX/XLA re-design with the capabilities of the reference
+solver COSMO.jl (see SURVEY.md): it solves
+
+    min  1/2 x'Px + q'x    s.t.  Ax + b in K
+
+for Cartesian products of zero, nonnegative, box, second-order, PSD
+(square/triangle), exponential and power cones (and their duals) — LPs,
+QPs, SOCPs, SDPs, exp/pow-cone programs — with Ruiz equilibration,
+per-constraint adaptive rho, infeasibility certificates, warm starting,
+safeguarded Anderson acceleration and chordal decomposition of sparse PSD
+constraints with clique merging.
+
+Unlike the single-process reference, the entire splitting loop runs as one
+jitted XLA program: cone projections are type-grouped batched kernels (PSD
+blocks -> bucketed batched eigendecompositions), the KKT system is solved by
+a cached dense Cholesky or matrix-free CG, and decomposed problems shard
+their clique blocks across a TPU mesh.
+"""
+import jax as _jax
+
+
+def enable_x64():
+    """Enable float64 computation (recommended on CPU for 1e-5 tolerances)."""
+    _jax.config.update("jax_enable_x64", True)
+
+
+from .models.cones import (  # noqa: E402
+    Box,
+    ConvexSet,
+    DensePsdCone,
+    DensePsdConeTriangle,
+    DualExponentialCone,
+    DualPowerCone,
+    ExponentialCone,
+    Nonnegatives,
+    PowerCone,
+    PsdCone,
+    PsdConeTriangle,
+    PsdConeTriangleComplex,
+    SecondOrderCone,
+    ZeroSet,
+)
+from .models.constraint import Constraint  # noqa: E402
+from .models.model import Model, assemble, optimize  # noqa: E402
+from .results import Result, ResultInfo, ResultTimes  # noqa: E402
+from .settings import Settings  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Model",
+    "Settings",
+    "Constraint",
+    "Result",
+    "ResultInfo",
+    "ResultTimes",
+    "assemble",
+    "optimize",
+    "enable_x64",
+    "ZeroSet",
+    "Nonnegatives",
+    "Box",
+    "SecondOrderCone",
+    "PsdCone",
+    "DensePsdCone",
+    "PsdConeTriangle",
+    "DensePsdConeTriangle",
+    "PsdConeTriangleComplex",
+    "ExponentialCone",
+    "DualExponentialCone",
+    "PowerCone",
+    "DualPowerCone",
+]

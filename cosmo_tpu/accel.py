@@ -1,0 +1,125 @@
+"""Safeguarded Anderson acceleration (Type-II, restarted memory).
+
+Functional re-design of the reference's accelerator stack
+(COSMOAccelerators.jl driven through src/accelerator_interface.jl): the
+history ring buffers live in the jitted loop carry as fixed-size ``[mem, d]``
+arrays, the update/accelerate/safeguard steps are pure functions, and the
+small least-squares solve is a ``mem x mem`` normal-equation solve (mem=15 by
+default) — negligible next to the KKT solve and fully on device.
+
+Matches the reference default
+``AndersonAccelerator{T, Type2{QRDecomp}, RestartedMemory, NoRegularizer}``
+(src/settings.jl:136): Type-II multi-secant update with fully emptied
+(restarted) memory, no explicit regularizer (we add a tiny diagonal jitter
+for the normal equations; the reference achieves the same robustness via QR).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class AccelState(NamedTuple):
+    x_last: jnp.ndarray   # [d]
+    g_last: jnp.ndarray   # [d]
+    f_last: jnp.ndarray   # [d]  f = x - g at the last genuine ADMM step
+    dF: jnp.ndarray       # [mem, d] residual differences
+    dG: jnp.ndarray       # [mem, d] map-output differences
+    count: jnp.ndarray    # int32: valid history pairs
+    have_last: jnp.ndarray  # bool
+    active: jnp.ndarray     # bool: activation reached
+    success: jnp.ndarray    # bool: produced an accelerated candidate this iter
+    n_accelerated: jnp.ndarray  # int32
+    n_declined: jnp.ndarray     # int32 safeguard rejections
+
+
+def init_accel(d: int, mem: int, dtype) -> AccelState:
+    z = jnp.zeros(d, dtype)
+    return AccelState(
+        x_last=z,
+        g_last=z,
+        f_last=z,
+        dF=jnp.zeros((mem, d), dtype),
+        dG=jnp.zeros((mem, d), dtype),
+        count=jnp.zeros((), jnp.int32),
+        have_last=jnp.asarray(False),
+        active=jnp.asarray(False),
+        success=jnp.asarray(False),
+        n_accelerated=jnp.zeros((), jnp.int32),
+        n_declined=jnp.zeros((), jnp.int32),
+    )
+
+
+def restart(aa: AccelState) -> AccelState:
+    """Empty the history (reference: CA.restart! on rho adaptation,
+    solver.jl:274)."""
+    return aa._replace(
+        count=jnp.zeros((), jnp.int32),
+        have_last=jnp.asarray(False),
+        success=jnp.asarray(False),
+    )
+
+
+def update(aa: AccelState, g, x) -> AccelState:
+    """Push the pair (x, g = T(x)) into the history
+    (CA.update! semantics; f = x - g)."""
+    mem = aa.dF.shape[0]
+    f = x - g
+
+    # restarted memory: when full, empty completely and start refilling
+    full = aa.count >= mem
+    count = jnp.where(full, 0, aa.count)
+
+    df_row = f - aa.f_last
+    dg_row = g - aa.g_last
+    push = aa.have_last
+    dF = jnp.where(push, aa.dF.at[count].set(df_row), aa.dF)
+    dG = jnp.where(push, aa.dG.at[count].set(dg_row), aa.dG)
+    count = jnp.where(push, count + 1, count)
+
+    return aa._replace(
+        x_last=x, g_last=g, f_last=f, dF=dF, dG=dG, count=count,
+        have_last=jnp.asarray(True),
+    )
+
+
+def accelerate(aa: AccelState, w):
+    """Compute the Type-II candidate w_acc = g - dG' gamma,
+    gamma = argmin ||f - dF' gamma||.  Returns (w_new, aa)."""
+    mem = aa.dF.shape[0]
+    dtype = w.dtype
+
+    rows = jnp.arange(mem)
+    active_row = rows < aa.count  # [mem]
+
+    Fm = jnp.where(active_row[:, None], aa.dF, 0.0)
+    Gm = jnp.where(active_row[:, None], aa.dG, 0.0)
+
+    # normal equations on the mem x mem Gram matrix; inactive rows get an
+    # identity diagonal and zero rhs so their gamma is exactly 0
+    G_raw = Fm @ Fm.T
+    diag_fix = jnp.where(active_row, 1e-13 * jnp.maximum(jnp.trace(G_raw), 1.0), 1.0)
+    G = G_raw + jnp.diag(diag_fix)
+    rhs = Fm @ aa.f_last
+    gamma = jnp.linalg.solve(G, rhs)
+
+    w_acc = aa.g_last - Gm.T @ gamma
+    # Declare failure when the secant system is numerically rank deficient —
+    # the reference's QR-based Type-II solve fails there too, which is what
+    # lets deferred rho/infeasibility updates run on such iterations.
+    # rank test: the count-th largest eigenvalue of the *unjittered* Gram must
+    # clear eps * mem relative to the largest (Gram ratios are squared
+    # conditioning of the secant matrix).
+    ev = jnp.linalg.eigvalsh(G_raw)  # ascending; inactive rows give zeros
+    kth = ev[jnp.clip(mem - aa.count, 0, mem - 1)]
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    well_cond = kth > (eps * mem) * jnp.abs(ev[-1])
+    ok = jnp.all(jnp.isfinite(w_acc)) & (aa.count > 0) & well_cond
+
+    w_new = jnp.where(ok, w_acc, w)
+    aa = aa._replace(
+        success=ok,
+        n_accelerated=aa.n_accelerated + ok.astype(jnp.int32),
+    )
+    return w_new.astype(dtype), aa

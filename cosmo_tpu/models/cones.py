@@ -1,0 +1,234 @@
+"""User-facing convex set / cone descriptions (host side).
+
+These mirror the reference cone types (src/convexset.jl) but carry no solver
+state: they are pure descriptions.  At solve time the ordered list of cones is
+compiled into type-grouped, padded, batched device arrays
+(:mod:`cosmo_tpu.ops.conedata`), replacing the reference's per-cone dynamic
+dispatch (src/convexset.jl:885-891) with a handful of fused vectorized ops.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+class ConvexSet:
+    """Base class for convex set descriptions."""
+
+    dim: int
+
+    def __repr__(self):
+        return f"{type(self).__name__}(dim={self.dim})"
+
+
+@dataclasses.dataclass(repr=False)
+class ZeroSet(ConvexSet):
+    """The zero set {0}^dim (reference: src/convexset.jl:16-41)."""
+
+    dim: int
+
+    def __post_init__(self):
+        if self.dim < 0:
+            raise ValueError("dimension must be nonnegative")
+
+
+@dataclasses.dataclass(repr=False)
+class Nonnegatives(ConvexSet):
+    """The nonnegative orthant (reference: src/convexset.jl:52-82)."""
+
+    dim: int
+
+    def __post_init__(self):
+        if self.dim < 0:
+            raise ValueError("dimension must be nonnegative")
+
+
+@dataclasses.dataclass(repr=False)
+class Box(ConvexSet):
+    """Box/interval set {x : l <= x <= u} (reference: src/convexset.jl:803-871)."""
+
+    l: np.ndarray
+    u: np.ndarray
+
+    def __post_init__(self):
+        self.l = np.atleast_1d(np.asarray(self.l, dtype=np.float64))
+        self.u = np.atleast_1d(np.asarray(self.u, dtype=np.float64))
+        if self.l.shape != self.u.shape:
+            raise ValueError("bounds must be same length")
+        bad = self.l > self.u
+        if np.any(bad):
+            i = int(np.argmax(bad))
+            raise ValueError(
+                f"Box set: inconsistent lower/upper bounds at index {i}: "
+                f"l[i]={self.l[i]}, u[i]={self.u[i]}"
+            )
+
+    @property
+    def dim(self) -> int:
+        return len(self.l)
+
+    @classmethod
+    def free(cls, dim: int) -> "Box":
+        return cls(np.full(dim, -np.inf), np.full(dim, np.inf))
+
+
+@dataclasses.dataclass(repr=False)
+class SecondOrderCone(ConvexSet):
+    """Second-order (Lorentz) cone {(t, x) : ||x||_2 <= t}
+    (reference: src/convexset.jl:92-122)."""
+
+    dim: int
+
+    def __post_init__(self):
+        if self.dim < 1:
+            raise ValueError("dimension must be >= 1")
+
+
+@dataclasses.dataclass(repr=False)
+class PsdCone(ConvexSet):
+    """PSD cone, square (column-stacked) storage; dim = r*r
+    (reference: src/convexset.jl:271-285)."""
+
+    dim: int
+    decomposable: bool = True   # False == the reference's DensePsdCone
+
+    def __post_init__(self):
+        r = int(np.sqrt(self.dim))
+        if r * r != self.dim:
+            raise ValueError("dimension must be a square")
+        self.side = r
+
+
+@dataclasses.dataclass(repr=False)
+class DensePsdCone(PsdCone):
+    """PSD cone exempt from chordal decomposition
+    (reference: src/convexset.jl:288-299)."""
+
+    decomposable: bool = False
+
+
+@dataclasses.dataclass(repr=False)
+class PsdConeTriangle(ConvexSet):
+    """Real PSD cone, svec (upper-triangle, sqrt(2)-scaled off-diagonals)
+    storage; dim = r(r+1)/2 (reference: src/convexset.jl:362-379)."""
+
+    dim: int
+    decomposable: bool = True
+
+    def __post_init__(self):
+        r = (int(np.sqrt(8 * self.dim + 1)) - 1) // 2
+        if r * (r + 1) // 2 != self.dim:
+            raise ValueError("dimension must be a triangle number")
+        self.side = r
+
+
+@dataclasses.dataclass(repr=False)
+class DensePsdConeTriangle(PsdConeTriangle):
+    """Triangle PSD cone exempt from decomposition
+    (reference: src/convexset.jl:383-394)."""
+
+    decomposable: bool = False
+
+
+@dataclasses.dataclass(repr=False)
+class PsdConeTriangleComplex(ConvexSet):
+    """Complex Hermitian PSD cone in packed-triangle storage; dim = r^2.
+
+    Storage layout matches the reference (src/convexset.jl:344-360): the
+    r(r+1)/2 leading entries are the real parts of the upper triangle
+    (sqrt(2)-scaled off-diagonals), followed by the r(r-1)/2 imaginary parts
+    of the strict upper triangle (sqrt(2)-scaled).
+    """
+
+    dim: int
+    decomposable: bool = False
+
+    def __post_init__(self):
+        r = int(np.sqrt(self.dim))
+        if r * r != self.dim:
+            raise ValueError("dimension must be a square (r^2 packed entries)")
+        self.side = r
+
+
+@dataclasses.dataclass(repr=False)
+class ExponentialCone(ConvexSet):
+    """K_exp = cl{(x,y,z) : y>0, y e^{x/y} <= z}
+    (reference: src/convexset.jl:497-618)."""
+
+    max_iter: int = 100
+    tol: float = 1e-8
+    dim: int = 3
+
+
+@dataclasses.dataclass(repr=False)
+class DualExponentialCone(ConvexSet):
+    """Dual exponential cone (reference: src/convexset.jl:750-759)."""
+
+    max_iter: int = 100
+    tol: float = 1e-8
+    dim: int = 3
+
+
+@dataclasses.dataclass(repr=False)
+class PowerCone(ConvexSet):
+    """3-d power cone {(x,y,z) : x^a y^(1-a) >= |z|, x,y >= 0}
+    (reference: src/convexset.jl:626-742)."""
+
+    alpha: float
+    max_iter: int = 20
+    tol: float = 1e-8
+    dim: int = 3
+
+    def __post_init__(self):
+        if not (0.0 < self.alpha < 1.0):
+            raise ValueError("The exponent alpha of the power cone has to be in (0, 1).")
+
+
+@dataclasses.dataclass(repr=False)
+class DualPowerCone(ConvexSet):
+    """3-d dual power cone (reference: src/convexset.jl:766-776)."""
+
+    alpha: float
+    max_iter: int = 20
+    tol: float = 1e-8
+    dim: int = 3
+
+    def __post_init__(self):
+        if not (0.0 < self.alpha < 1.0):
+            raise ValueError("The exponent alpha of the dual power cone has to be in (0, 1).")
+
+
+# Canonical ordering of sets inside the stacked constraint matrix
+# (reference: src/interface.jl:466-475).
+def sort_key(C: ConvexSet) -> int:
+    if isinstance(C, ZeroSet):
+        return 1
+    if isinstance(C, Nonnegatives):
+        return 2
+    if isinstance(C, Box):
+        return 3
+    if isinstance(C, SecondOrderCone):
+        return 4
+    if isinstance(C, PsdCone):
+        return 5
+    return 6
+
+
+# Cones whose Ruiz row-scaling must be rectified to a single scalar
+# (reference: src/convexset.jl:953-958).
+def needs_scalar_scaling(C: ConvexSet) -> bool:
+    return isinstance(
+        C,
+        (
+            SecondOrderCone,
+            PsdCone,
+            PsdConeTriangle,
+            PsdConeTriangleComplex,
+            ExponentialCone,
+            DualExponentialCone,
+            PowerCone,
+            DualPowerCone,
+        ),
+    )

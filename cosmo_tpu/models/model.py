@@ -1,0 +1,337 @@
+"""Native modeling API: Model / assemble / set_ / update_ / warm_start / optimize.
+
+Mirrors the reference's interface layer (src/interface.jl): constraint
+merging, canonical set ordering, the ``A <- -A`` sign flip that turns
+``Ax + b in K`` into ``Ax + s = b, s in K``, and warm-start semantics
+(mu = -y).  The heavy lifting happens in :mod:`cosmo_tpu.solver`, which runs
+the entire solve as one jitted XLA program; this layer only prepares numpy
+data and unpacks device results.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from .. import results as results_mod
+from .. import solver as solver_mod
+from ..ops import conedata
+from ..settings import Settings, split_settings
+from . import cones as C
+from .constraint import Constraint
+
+
+def _default_dtype(settings: Settings):
+    if settings.dtype is not None:
+        return np.dtype(settings.dtype)
+    return np.float64 if jax.config.read("jax_enable_x64") else np.float32
+
+
+def _to_dense(M) -> np.ndarray:
+    if sp.issparse(M):
+        return np.asarray(M.todense())
+    return np.asarray(M)
+
+
+class Model:
+    """Problem container + solve orchestration (reference Workspace/Model,
+    src/types.jl:348-403)."""
+
+    def __init__(self, settings: Optional[Settings] = None):
+        self.settings = settings if settings is not None else Settings()
+        self.empty()
+
+    # -- state ---------------------------------------------------------
+    def empty(self):
+        """Reset the model (reference: interface.jl:98-114)."""
+        self.P: Optional[np.ndarray] = None
+        self.q: Optional[np.ndarray] = None
+        self.A: Optional[np.ndarray] = None
+        self.b: Optional[np.ndarray] = None
+        self.sets: List[C.ConvexSet] = []
+        self.x0: Optional[np.ndarray] = None
+        self.s0: Optional[np.ndarray] = None
+        self.mu0: Optional[np.ndarray] = None
+        self.is_assembled = False
+        self.is_decomposed = False
+        self._chordal_info = None
+        self._last_result: Optional[results_mod.Result] = None
+
+    @property
+    def model_size(self):
+        m = self.A.shape[0] if self.A is not None else 0
+        n = self.A.shape[1] if self.A is not None else 0
+        return m, n
+
+    # -- assembly ------------------------------------------------------
+    def assemble(
+        self,
+        P,
+        q,
+        constraints: Union[Constraint, Sequence[Constraint]],
+        settings: Optional[Settings] = None,
+        x0=None,
+        y0=None,
+        s0=None,
+    ):
+        """Build the stacked problem (reference: interface.jl:30-77)."""
+        if isinstance(constraints, Constraint):
+            constraints = [constraints]
+        constraints = list(constraints)
+        if settings is not None:
+            self.settings = settings
+
+        P = _to_dense(P).astype(np.float64)
+        q = np.asarray(q, dtype=np.float64).ravel()
+        if P.ndim == 0:
+            P = P.reshape(1, 1)
+        if P.ndim == 1:
+            P = np.diag(P) if P.shape[0] == q.shape[0] else P.reshape(1, 1)
+        n = q.shape[0]
+        if P.shape != (n, n):
+            raise ValueError("The dimensions of matrix P and vector q don't match.")
+
+        constraints = _merge_constraints(constraints)
+        # canonical ordering (interface.jl:55, :466-475); stable sort
+        constraints.sort(key=lambda c: C.sort_key(c.convex_set))
+
+        m = sum(c.dim for c in constraints)
+        A = np.zeros((m, n), dtype=np.float64)
+        b = np.zeros(m, dtype=np.float64)
+        row = 0
+        for con in constraints:
+            d = con.dim
+            Ac = _to_dense(con.A)
+            if Ac.shape[1] != n:
+                raise ValueError(
+                    f"A constraint has {Ac.shape[1]} columns but the problem has n={n}."
+                )
+            # sign flip: Ax + b in K  ->  (-A)x + s = b (interface.jl:478-484)
+            A[row : row + d, :] = -Ac
+            b[row : row + d] = con.b
+            row += d
+
+        self.P, self.q, self.A, self.b = P, q, A, b
+        self.sets = [con.convex_set for con in constraints]
+        self.is_assembled = True
+        self.is_decomposed = False
+        self._chordal_info = None
+        self.x0 = np.zeros(n)
+        self.s0 = np.zeros(m)
+        self.mu0 = np.zeros(m)
+
+        if x0 is not None:
+            self.warm_start_primal(x0)
+        if y0 is not None:
+            self.warm_start_dual(y0)
+        if s0 is not None:
+            self.warm_start_slack(s0)
+        return self
+
+    def set(self, P, q, A, b, sets: Sequence[C.ConvexSet], settings: Optional[Settings] = None):
+        """Raw-data entry: problem is already in ``Ax + s = b`` form
+        (reference: interface.jl:218-250)."""
+        if settings is not None:
+            self.settings = settings
+        self.P = _to_dense(P).astype(np.float64)
+        self.q = np.asarray(q, dtype=np.float64).ravel()
+        self.A = _to_dense(A).astype(np.float64)
+        self.b = np.asarray(b, dtype=np.float64).ravel()
+        m, n = self.A.shape
+        if len(self.q) != n or len(self.b) != m or self.P.shape != (n, n):
+            raise ValueError("Inconsistent problem dimensions.")
+        if sum(s.dim for s in sets) != m:
+            raise ValueError("Cone dimensions don't sum to the number of rows of A.")
+        self.sets = list(sets)
+        self.is_assembled = True
+        self.is_decomposed = False
+        self._chordal_info = None
+        self.x0 = np.zeros(n)
+        self.s0 = np.zeros(m)
+        self.mu0 = np.zeros(m)
+        return self
+
+    # -- updates / warm starts ------------------------------------------
+    def update(self, q=None, b=None):
+        """Update q and/or b between solves (reference: interface.jl:187-211).
+
+        Because the whole solve (including scaling and factorization) is one
+        cached XLA program, updating vectors never triggers a recompile."""
+        if not self.is_assembled:
+            raise RuntimeError("Model has to be assembled before updating q or b.")
+        if self.is_decomposed and (q is not None or b is not None):
+            raise RuntimeError("q/b cannot be updated after chordal decomposition.")
+        if q is not None:
+            q = np.asarray(q, dtype=np.float64).ravel()
+            if len(q) != self.model_size[1]:
+                raise ValueError("The dimension of q does not agree with n.")
+            self.q = q
+        if b is not None:
+            b = np.asarray(b, dtype=np.float64).ravel()
+            if len(b) != self.model_size[0]:
+                raise ValueError("The dimension of b does not agree with m.")
+            self.b = b
+        return self
+
+    def warm_start_primal(self, x0, ind=None):
+        x0 = np.atleast_1d(np.asarray(x0, dtype=np.float64))
+        if ind is None and len(x0) == self.model_size[1]:
+            self.x0[:] = x0
+            # full x0 also warm starts s = b - A x (interface.jl:133-150)
+            self.s0[:] = self.b - self.A @ x0
+        else:
+            self.x0[ind] = x0
+        return self
+
+    def warm_start_slack(self, s0, ind=None):
+        s0 = np.atleast_1d(np.asarray(s0, dtype=np.float64))
+        if ind is None:
+            self.s0[:] = s0
+        else:
+            self.s0[ind] = s0
+        return self
+
+    def warm_start_dual(self, y0, ind=None):
+        """Internally mu = -y (interface.jl:161-169)."""
+        y0 = np.atleast_1d(np.asarray(y0, dtype=np.float64))
+        if ind is None:
+            self.mu0[:] = -y0
+        else:
+            self.mu0[ind] = -y0
+        return self
+
+    def warm_start(self, x0=None, y0=None, s0=None):
+        if x0 is not None:
+            self.warm_start_primal(x0)
+        if y0 is not None:
+            self.warm_start_dual(y0)
+        if s0 is not None:
+            self.warm_start_slack(s0)
+        return self
+
+    # -- solve -----------------------------------------------------------
+    def optimize(self) -> results_mod.Result:
+        if not self.is_assembled:
+            raise RuntimeError(
+                "The model has to be assembled/set before optimize() can be called."
+            )
+        settings = self.settings
+        times = results_mod.ResultTimes()
+        t_solver = time.perf_counter()
+
+        # ---- chordal decomposition (host, reference: chordal_decomposition.jl) ----
+        t_graph = time.perf_counter()
+        P, q, A, b, sets = self.P, self.q, self.A, self.b, self.sets
+        chordal_info = None
+        if settings.decompose and any(
+            isinstance(s, (C.PsdCone, C.PsdConeTriangle)) and getattr(s, "decomposable", False)
+            for s in sets
+        ):
+            from ..chordal import decompose as chordal_decompose
+
+            chordal_info = chordal_decompose.decompose(
+                P, q, A, b, sets, settings
+            )
+            if chordal_info is not None:
+                P, q, A, b, sets = chordal_info.problem
+                self.is_decomposed = True
+        times.graph_time = time.perf_counter() - t_graph
+
+        dtype = _default_dtype(settings)
+        m, n = A.shape
+
+        t_setup = time.perf_counter()
+        cones = conedata.compile_cones(sets, dtype=dtype, psd_pad_to=settings.psd_pad_to)
+        static, dyn = split_settings(settings, m, n, dtype)
+
+        Pd = jnp.asarray(P, dtype)
+        Ad = jnp.asarray(A, dtype)
+        qd = jnp.asarray(q, dtype)
+        bd = jnp.asarray(b, dtype)
+
+        if chordal_info is not None:
+            x0 = np.zeros(n)
+            s0 = np.zeros(m)
+            mu0 = np.zeros(m)
+        else:
+            x0, s0, mu0 = self.x0, self.s0, self.mu0
+        x0d = jnp.asarray(x0, dtype)
+        s0d = jnp.asarray(s0, dtype)
+        mu0d = jnp.asarray(mu0, dtype)
+        times.setup_time = time.perf_counter() - t_setup
+
+        t_iter = time.perf_counter()
+        with jax.default_matmul_precision(settings.matmul_precision):
+            out = solver_mod.solve_jit(
+                Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static=static
+            )
+        out = jax.tree_util.tree_map(np.asarray, out)
+        times.iter_time = time.perf_counter() - t_iter
+
+        t_post = time.perf_counter()
+        x = out["x"]
+        y = out["y"]
+        s = out["s"]
+        if chordal_info is not None:
+            from ..chordal import decompose as chordal_decompose
+
+            x, y, s = chordal_decompose.reverse(chordal_info, x, y, s, settings)
+        times.post_time = time.perf_counter() - t_post
+
+        status = results_mod.STATUS_NAMES[int(out["status"])]
+        n_updates = int(out["n_rho_adapt"]) + 1
+        info = results_mod.ResultInfo(
+            r_prim=float(out["r_prim"]),
+            r_dual=float(out["r_dual"]),
+            max_norm_prim=float(out["max_norm_prim"]),
+            max_norm_dual=float(out["max_norm_dual"]),
+            rho_updates=out["rho_log"][: min(n_updates, solver_mod.RHO_LOG_LEN)],
+        )
+        times.solver_time = time.perf_counter() - t_solver
+        result = results_mod.Result(
+            x=x,
+            y=y,
+            s=s,
+            obj_val=float(out["cost"]),
+            iter=int(out["iter"]) + int(out["safeguarding_iter"]),
+            safeguarding_iter=int(out["safeguarding_iter"]),
+            status=status,
+            info=info,
+            times=times,
+        )
+        self._last_result = result
+        if settings.verbose:
+            from ..utils import printing
+
+            printing.print_result(self, result)
+        return result
+
+
+def _merge_constraints(constraints: List[Constraint]) -> List[Constraint]:
+    """Fuse all ZeroSet rows and all Nonnegatives rows into one constraint
+    each (reference: interface.jl:411-462)."""
+    out: List[Constraint] = []
+    for SetT in (C.ZeroSet, C.Nonnegatives):
+        group = [c for c in constraints if type(c.convex_set) is SetT]
+        if len(group) > 1:
+            A = sp.vstack([sp.csr_matrix(_to_dense(c.A)) for c in group])
+            b = np.concatenate([c.b for c in group])
+            merged = Constraint(A, b, SetT(A.shape[0]))
+            constraints = [c for c in constraints if type(c.convex_set) is not SetT]
+            constraints.append(merged)
+    out = constraints
+    return out
+
+
+# convenience aliases matching the reference's API names
+def assemble(model: Model, P, q, constraints, **kwargs) -> Model:
+    return model.assemble(P, q, constraints, **kwargs)
+
+
+def optimize(model: Model) -> results_mod.Result:
+    return model.optimize()

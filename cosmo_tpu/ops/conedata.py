@@ -1,0 +1,319 @@
+"""Compile an ordered list of cones into batched, padded device arrays.
+
+This replaces the reference's ``CompositeConvexSet`` + per-cone dynamic
+dispatch (reference: src/convexset.jl:885-891, src/splitvector.jl) with a
+TPU-native representation:
+
+* Zero / Nonnegatives / Box rows (and 1x1 PSD blocks) collapse into ONE
+  elementwise clip with per-row lower/upper bound vectors — a single fused
+  VPU op over the whole slack vector.
+* Second-order cones are bucketed by padded dimension into ``[B, d]`` stacks
+  (zero-padding is exact for the SOC projection).
+* PSD cones (square and svec-triangle storage) are bucketed by padded side
+  into ``[B, k, k]`` stacks; the projection is one batched symmetric
+  eigendecomposition per bucket (zero-embedding a block in a larger
+  all-zeros matrix is exact for the PSD projection and for the +/- definite
+  membership tests used by the solver).
+* Exponential / power cones become ``[N, 3]`` stacks projected by vectorized
+  bisection/Newton iterations; dual cones ride the same kernels via the
+  Moreau identity  Pi_{K*}(v) = v + Pi_K(-v)  (reference: convexset.jl:784).
+
+Gather/scatter between the global slack vector and the stacks uses
+precomputed static index maps; padding lanes point at a one-past-the-end
+"dump" slot so no masks are needed on the hot path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Tuple
+
+import numpy as np
+
+from ..models import cones as C
+from ..utils.pytrees import register_pytree_dataclass, static_field
+
+SQRT2 = np.sqrt(2.0)
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class SocBucket:
+    """A stack of second-order cones padded to a common dimension."""
+
+    idx: Any  # int32 [B, d] gather/scatter rows into s (m == dump slot)
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class PsdBucket:
+    """A stack of PSD blocks (square or triangle storage) padded to side k.
+
+    gather:   X[b,i,j] = s_ext[gather_idx[b,i,j]] * gather_scale[b,i,j]
+    scatter:  s[scatter_idx[b,i,j]] = Y[b,i,j] * scatter_scale[b,i,j]
+    Both maps embed the actual r x r block in the top-left corner of the
+    padded k x k matrix; padding lanes read the dump slot with scale 0 and
+    write to the dump slot.
+    """
+
+    gather_idx: Any      # int32 [B, k, k]
+    gather_scale: Any    # dtype [B, k, k]
+    scatter_idx: Any     # int32 [B, k, k]
+    scatter_scale: Any   # dtype [B, k, k]
+    side: int = static_field()
+    symmetrize: bool = static_field()  # square storage needs (X + X^T)/2
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class ExpCones:
+    idx: Any       # int32 [N, 3]
+    is_dual: Any   # bool  [N]
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class PowCones:
+    idx: Any       # int32 [N, 3]
+    alpha: Any     # dtype [N]
+    is_dual: Any   # bool  [N]
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class ConeData:
+    """Batched device representation of a Cartesian product of cones."""
+
+    m: int = static_field()
+    n_rect_segments: int = static_field()
+
+    # elementwise family: rows of ZeroSet (l=u=0), Nonnegatives (l=0,u=inf),
+    # Box (user bounds) and 1x1 PSD blocks (l=0,u=inf); +/-inf elsewhere.
+    lb: Any = None        # dtype [m]
+    ub: Any = None        # dtype [m]
+
+    # row classification masks (for rho rules / constraint classification)
+    eq_mask: Any = None       # bool [m]  ZeroSet rows
+    nonneg_mask: Any = None   # bool [m]  Nonnegatives rows (incl. 1x1 PSD)
+    box_mask: Any = None      # bool [m]  Box rows
+
+    # Ruiz rectification segments (cones that need scalar scaling,
+    # reference: src/convexset.jl:953-958): rows of segment i share one
+    # scaling factor == mean of their Ruiz row scalings.
+    rect_mask: Any = None     # bool  [m]
+    rect_seg: Any = None      # int32 [m] in [0, n_rect_segments]; dump == last
+
+    soc_buckets: Tuple[SocBucket, ...] = ()
+    psd_buckets: Tuple[PsdBucket, ...] = ()
+    exp: ExpCones = None
+    pow: PowCones = None
+
+
+def _tri_index(i: int, j: int) -> int:
+    """svec index of entry (i, j), i <= j, column-major upper triangle
+    (reference packing order: src/convexset.jl:432-442)."""
+    return j * (j + 1) // 2 + i
+
+
+def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8,
+                  soc_pad_pow2: bool = True) -> ConeData:
+    """Build the batched cone representation from an ordered cone list."""
+    m = sum(s.dim for s in sets)
+    DUMP = m
+
+    lb = np.full(m, -np.inf, dtype=dtype)
+    ub = np.full(m, np.inf, dtype=dtype)
+    eq_mask = np.zeros(m, dtype=bool)
+    nonneg_mask = np.zeros(m, dtype=bool)
+    box_mask = np.zeros(m, dtype=bool)
+    rect_mask = np.zeros(m, dtype=bool)
+    rect_seg = np.zeros(m, dtype=np.int32)
+
+    soc_groups: dict[int, list[int]] = {}
+    psd_groups: dict[tuple[int, bool], list[tuple[int, int]]] = {}  # (k, sym) -> [(offset, r)]
+    exp_rows: list[tuple[int, bool]] = []
+    pow_rows: list[tuple[int, float, bool]] = []
+
+    n_rect = 0
+    offset = 0
+    for cone in sets:
+        d = cone.dim
+        rows = slice(offset, offset + d)
+        if isinstance(cone, C.ZeroSet):
+            lb[rows] = 0.0
+            ub[rows] = 0.0
+            eq_mask[rows] = True
+        elif isinstance(cone, C.Nonnegatives):
+            lb[rows] = 0.0
+            nonneg_mask[rows] = True
+        elif isinstance(cone, C.Box):
+            lb[rows] = cone.l
+            ub[rows] = cone.u
+            box_mask[rows] = True
+        elif isinstance(cone, C.SecondOrderCone):
+            soc_groups.setdefault(_next_pow2(d) if soc_pad_pow2 else d, []).append(offset)
+            rect_mask[rows] = True
+            rect_seg[rows] = n_rect
+            n_rect += 1
+        elif isinstance(cone, C.PsdCone):
+            r = cone.side
+            if r <= 1:
+                # 1x1 PSD block == nonnegativity (reference: convexset.jl:303-308)
+                lb[rows] = 0.0
+                nonneg_mask[rows] = True
+            else:
+                k = max(psd_pad_to, -(-r // psd_pad_to) * psd_pad_to) if psd_pad_to > 1 else r
+                psd_groups.setdefault((k, True), []).append((offset, r))
+            rect_mask[rows] = True
+            rect_seg[rows] = n_rect
+            n_rect += 1
+        elif isinstance(cone, C.PsdConeTriangle):
+            r = cone.side
+            if r <= 1:
+                lb[rows] = 0.0
+                nonneg_mask[rows] = True
+            else:
+                k = max(psd_pad_to, -(-r // psd_pad_to) * psd_pad_to) if psd_pad_to > 1 else r
+                psd_groups.setdefault((k, False), []).append((offset, r))
+            rect_mask[rows] = True
+            rect_seg[rows] = n_rect
+            n_rect += 1
+        elif isinstance(cone, C.PsdConeTriangleComplex):
+            raise NotImplementedError(
+                "Complex Hermitian PSD cones are not implemented yet in the device path."
+            )
+        elif isinstance(cone, C.ExponentialCone):
+            exp_rows.append((offset, False))
+            rect_mask[rows] = True
+            rect_seg[rows] = n_rect
+            n_rect += 1
+        elif isinstance(cone, C.DualExponentialCone):
+            exp_rows.append((offset, True))
+            rect_mask[rows] = True
+            rect_seg[rows] = n_rect
+            n_rect += 1
+        elif isinstance(cone, C.PowerCone):
+            pow_rows.append((offset, cone.alpha, False))
+            rect_mask[rows] = True
+            rect_seg[rows] = n_rect
+            n_rect += 1
+        elif isinstance(cone, C.DualPowerCone):
+            pow_rows.append((offset, cone.alpha, True))
+            rect_mask[rows] = True
+            rect_seg[rows] = n_rect
+            n_rect += 1
+        else:
+            raise TypeError(f"Unsupported cone type: {type(cone).__name__}")
+        offset += d
+
+    # rows that are not in any rectified cone go to the dump segment
+    rect_seg = np.where(rect_mask, rect_seg, n_rect).astype(np.int32)
+
+    # --- SOC buckets ---
+    soc_buckets = []
+    for d_pad, offsets in sorted(soc_groups.items()):
+        idx = np.full((len(offsets), d_pad), DUMP, dtype=np.int32)
+        for b, o in enumerate(offsets):
+            # actual dim of this cone: recover from the sets list is awkward;
+            # instead store contiguous rows until the next cone. We recorded
+            # only offsets; recompute dims below.
+            pass
+        soc_buckets.append((d_pad, offsets, idx))
+    # second pass to fill dims (need dims per offset)
+    soc_dims = {}
+    off = 0
+    for cone in sets:
+        if isinstance(cone, C.SecondOrderCone):
+            soc_dims[off] = cone.dim
+        off += cone.dim
+    soc_bucket_objs = []
+    for d_pad, offsets, idx in soc_buckets:
+        for b, o in enumerate(offsets):
+            d = soc_dims[o]
+            idx[b, :d] = np.arange(o, o + d, dtype=np.int32)
+        soc_bucket_objs.append(SocBucket(idx=idx))
+
+    # --- PSD buckets ---
+    psd_bucket_objs = []
+    for (k, symmetrize), blocks in sorted(psd_groups.items()):
+        B = len(blocks)
+        g_idx = np.full((B, k, k), DUMP, dtype=np.int32)
+        g_scl = np.zeros((B, k, k), dtype=dtype)
+        s_idx = np.full((B, k, k), DUMP, dtype=np.int32)
+        s_scl = np.zeros((B, k, k), dtype=dtype)
+        for b, (o, r) in enumerate(blocks):
+            if symmetrize:
+                # square, column-stacked storage: vec index of (i,j) = o + j*r + i
+                for j in range(r):
+                    for i in range(r):
+                        g_idx[b, i, j] = o + j * r + i
+                        g_scl[b, i, j] = 1.0
+                        s_idx[b, i, j] = o + j * r + i
+                        s_scl[b, i, j] = 1.0
+            else:
+                # svec triangle storage with sqrt(2)-scaled off-diagonals
+                for j in range(r):
+                    for i in range(j + 1):
+                        t = o + _tri_index(i, j)
+                        scl = 1.0 if i == j else 1.0 / SQRT2
+                        g_idx[b, i, j] = t
+                        g_scl[b, i, j] = scl
+                        g_idx[b, j, i] = t
+                        g_scl[b, j, i] = scl
+                        # scatter only from the upper triangle
+                        s_idx[b, i, j] = t
+                        s_scl[b, i, j] = 1.0 if i == j else SQRT2
+        psd_bucket_objs.append(
+            PsdBucket(
+                gather_idx=g_idx,
+                gather_scale=g_scl,
+                scatter_idx=s_idx,
+                scatter_scale=s_scl,
+                side=k,
+                symmetrize=symmetrize,
+            )
+        )
+
+    # --- exp / pow stacks ---
+    if exp_rows:
+        e_idx = np.array(
+            [[o, o + 1, o + 2] for (o, _) in exp_rows], dtype=np.int32
+        )
+        e_dual = np.array([d for (_, d) in exp_rows], dtype=bool)
+        exp = ExpCones(idx=e_idx, is_dual=e_dual)
+    else:
+        exp = ExpCones(idx=np.zeros((0, 3), np.int32), is_dual=np.zeros((0,), bool))
+
+    if pow_rows:
+        p_idx = np.array([[o, o + 1, o + 2] for (o, _, _) in pow_rows], dtype=np.int32)
+        p_alpha = np.array([a for (_, a, _) in pow_rows], dtype=dtype)
+        p_dual = np.array([d for (_, _, d) in pow_rows], dtype=bool)
+        pw = PowCones(idx=p_idx, alpha=p_alpha, is_dual=p_dual)
+    else:
+        pw = PowCones(
+            idx=np.zeros((0, 3), np.int32),
+            alpha=np.zeros((0,), dtype),
+            is_dual=np.zeros((0,), bool),
+        )
+
+    return ConeData(
+        m=m,
+        n_rect_segments=n_rect,
+        lb=lb,
+        ub=ub,
+        eq_mask=eq_mask,
+        nonneg_mask=nonneg_mask,
+        box_mask=box_mask,
+        rect_mask=rect_mask,
+        rect_seg=rect_seg,
+        soc_buckets=tuple(soc_bucket_objs),
+        psd_buckets=tuple(psd_bucket_objs),
+        exp=exp,
+        pow=pw,
+    )

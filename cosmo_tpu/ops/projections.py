@@ -1,0 +1,190 @@
+"""Batched cone projections and membership tests.
+
+The composite projection (reference: src/convexset.jl:885-891 fans out over
+cones with dynamic dispatch) is here a fixed sequence of fused vectorized
+ops over the batched cone representation:
+
+1. one elementwise clip covering Zero/Nonnegatives/Box rows,
+2. one vectorized SOC projection per SOC bucket,
+3. one batched eigendecomposition + rank-k reconstruction per PSD bucket
+   (reference hot kernel: LAPACK syevr + syrk, convexset.jl:219-263),
+4. one vectorized Newton/bisection kernel for all exp / pow cones.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import exp_pow
+from .conedata import ConeData, PsdBucket, SocBucket
+
+
+def _ext(v):
+    """Append the dump slot (value 0) used by padded gathers/scatters."""
+    return jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+
+
+def _soc_project_bucket(x):
+    """Project rows of x [B, d] onto the second-order cone
+    (reference: convexset.jl:100-114). Zero-padding is exact."""
+    t = x[:, 0]
+    xt = x[:, 1:]
+    nx = jnp.linalg.norm(xt, axis=1)
+    in_cone = nx <= t
+    in_polar = nx <= -t
+    scale = (nx + t) / 2.0
+    safe_nx = jnp.where(nx > 0, nx, 1.0)
+    t_new = jnp.where(in_cone, t, jnp.where(in_polar, 0.0, scale))
+    xt_new = jnp.where(
+        in_cone[:, None],
+        xt,
+        jnp.where(in_polar[:, None], 0.0, (scale / safe_nx)[:, None] * xt),
+    )
+    return jnp.concatenate([t_new[:, None], xt_new], axis=1)
+
+
+def _psd_gather(v_ext, bucket: PsdBucket):
+    X = v_ext[bucket.gather_idx] * bucket.gather_scale
+    if bucket.symmetrize:
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
+    return X
+
+
+def _psd_project_bucket(X):
+    """Batched PSD projection: eigh + positive-part reconstruction
+    (reference: convexset.jl:219-263). [B, k, k] -> [B, k, k]."""
+    w, V = jnp.linalg.eigh(X)
+    wp = jnp.maximum(w, 0.0)
+    # X_+ = V diag(w_+) V^T ; keep it as one einsum so XLA fuses the scaling
+    return jnp.einsum("bik,bk,bjk->bij", V, wp, V)
+
+
+def project(w2, cones: ConeData):
+    """s = Pi_K(w2): project the slack part of the operator variable onto K.
+
+    Replaces admm_z!'s projection fan-out (reference: src/solver.jl:7-21,
+    convexset.jl:885-891)."""
+    s = jnp.clip(w2, cones.lb, cones.ub)
+    v_ext = _ext(w2)
+
+    for bucket in cones.soc_buckets:
+        X = v_ext[bucket.idx]
+        P = _soc_project_bucket(X)
+        s = _ext(s).at[bucket.idx].set(P)[:-1]
+
+    for bucket in cones.psd_buckets:
+        X = _psd_gather(v_ext, bucket)
+        Y = _psd_project_bucket(X)
+        s = _ext(s).at[bucket.scatter_idx].set(Y * bucket.scatter_scale)[:-1]
+
+    if cones.exp.idx.shape[0] > 0:
+        V = v_ext[cones.exp.idx]
+        P = exp_pow.project_exp(V, cones.exp.is_dual)
+        s = _ext(s).at[cones.exp.idx].set(P)[:-1]
+
+    if cones.pow.idx.shape[0] > 0:
+        V = v_ext[cones.pow.idx]
+        P = exp_pow.project_pow(V, cones.pow.alpha, cones.pow.is_dual)
+        s = _ext(s).at[cones.pow.idx].set(P)[:-1]
+
+    return s
+
+
+# ----------------------------------------------------------------------
+# Membership tests (used by the infeasibility certificates)
+# ----------------------------------------------------------------------
+
+def _psd_min_eigs(v_ext, bucket: PsdBucket):
+    X = _psd_gather(v_ext, bucket)
+    w = jnp.linalg.eigvalsh(X)
+    return w[:, 0], w[:, -1]  # (min, max) per block
+
+
+def in_pol_recc(v, cones: ConeData, tol):
+    """Is v in the polar recession cone of K-tilde? Used by the dual
+    infeasibility certificate (reference: src/convexset.jl in_pol_recc per
+    cone; src/infeasibility.jl:32-68).
+
+    Note: zero-padding of PSD blocks adds eigenvalues exactly 0, which never
+    flips the lambda_max <= tol test for tol >= 0.
+    """
+    ok = jnp.asarray(True)
+    v_ext = _ext(v)
+
+    # ZeroSet rows: |v| <= tol (convexset.jl:34-36)
+    ok &= ~jnp.any(cones.eq_mask & (jnp.abs(v) > tol))
+    # Nonnegatives rows: v <= tol (convexset.jl:80-82)
+    ok &= ~jnp.any(cones.nonneg_mask & (v > tol))
+    # Box rows: v > tol only allowed if u finite; v < -tol only if l finite
+    # (convexset.jl:859-861)
+    bad_u = cones.box_mask & jnp.isposinf(cones.ub) & (v > tol)
+    bad_l = cones.box_mask & jnp.isneginf(cones.lb) & (v < -tol)
+    ok &= ~jnp.any(bad_u | bad_l)
+
+    for bucket in cones.soc_buckets:
+        X = v_ext[bucket.idx]
+        nx = jnp.linalg.norm(X[:, 1:], axis=1)
+        ok &= jnp.all(nx <= tol - X[:, 0])
+
+    for bucket in cones.psd_buckets:
+        _, mx = _psd_min_eigs(v_ext, bucket)
+        ok &= jnp.all(mx <= tol)
+
+    if cones.exp.idx.shape[0] > 0:
+        V = v_ext[cones.exp.idx]
+        # in_pol_recc(v) = in_dual(-v); for dual cones in_dual == primal in_cone
+        prim = exp_pow.exp_in_dual(-V, tol)
+        dual = exp_pow.exp_in_cone(-V, tol)
+        ok &= jnp.all(jnp.where(cones.exp.is_dual, dual, prim))
+
+    if cones.pow.idx.shape[0] > 0:
+        V = v_ext[cones.pow.idx]
+        a = cones.pow.alpha
+        prim = exp_pow.pow_in_dual(-V, a, tol)
+        dual = exp_pow.pow_in_cone(-V, a, tol)
+        ok &= jnp.all(jnp.where(cones.pow.is_dual, dual, prim))
+
+    return ok
+
+
+def support_function(y, cones: ConeData, tol):
+    """sup_{z in K} <z, y> evaluated the way the reference does for the
+    primal infeasibility certificate (src/convexset.jl:850-936): finite sum
+    over Box rows, and 0 / +inf indicator (via in_dual(-y)) for the cones.
+    """
+    v_ext = _ext(y)
+    dt = y.dtype
+    inf = jnp.asarray(jnp.inf, dt)
+
+    # Box rows (convexset.jl:850-856); guard 0 * inf
+    pos = y > tol
+    neg = y < -tol
+    contrib = jnp.where(pos, y * cones.ub, jnp.where(neg, y * cones.lb, 0.0))
+    box_sum = jnp.sum(jnp.where(cones.box_mask, contrib, 0.0))
+
+    ok = jnp.asarray(True)
+    # ZeroSet: support 0 always. Nonnegatives: in_dual(-y) -> y <= tol
+    ok &= ~jnp.any(cones.nonneg_mask & (y > tol))
+
+    for bucket in cones.soc_buckets:
+        X = -v_ext[bucket.idx]
+        nx = jnp.linalg.norm(X[:, 1:], axis=1)
+        ok &= jnp.all(nx <= tol + X[:, 0])
+
+    for bucket in cones.psd_buckets:
+        mn, _ = _psd_min_eigs(-v_ext, bucket)
+        ok &= jnp.all(mn >= -tol)
+
+    if cones.exp.idx.shape[0] > 0:
+        V = -v_ext[cones.exp.idx]
+        prim = exp_pow.exp_in_dual(V, tol)
+        dual = exp_pow.exp_in_cone(V, tol)
+        ok &= jnp.all(jnp.where(cones.exp.is_dual, dual, prim))
+
+    if cones.pow.idx.shape[0] > 0:
+        V = -v_ext[cones.pow.idx]
+        a = cones.pow.alpha
+        prim = exp_pow.pow_in_dual(V, a, tol)
+        dual = exp_pow.pow_in_cone(V, a, tol)
+        ok &= jnp.all(jnp.where(cones.pow.is_dual, dual, prim))
+
+    return jnp.where(ok, box_sum, inf)

@@ -1,0 +1,212 @@
+"""Solver settings.
+
+Mirrors the option surface of the reference solver's ``Settings`` struct
+(reference: src/settings.jl:61-155) as a plain dataclass.  At solve time the
+options are split into a *static* part (ints/flags/choices — changing any of
+these triggers an XLA recompile) and a *dynamic* part (floats that are fed to
+the compiled program as device scalars, so e.g. tolerances or ``rho`` can be
+changed without recompiling).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import numpy as np
+
+
+# Accelerator activation kinds (reference: src/settings.jl:20-23,
+# src/accelerator_interface.jl:6-48)
+ACTIVATION_IMMEDIATE = "immediate"
+ACTIVATION_ITER = "iter"
+ACTIVATION_ACCURACY = "accuracy"
+
+# KKT solver kinds (reference: src/linear_solver/)
+KKT_DENSE = "dense"          # cached dense Cholesky of P + sigma*I + A' rho A
+KKT_CG = "cg"                # matrix-free conjugate gradient on the reduced system
+KKT_MINRES = "minres"        # matrix-free MINRES on the reduced system
+
+# Clique merge strategies (reference: src/chordal_decomposition/clique_merging.jl)
+MERGE_CLIQUE_GRAPH = "clique_graph"
+MERGE_PARENT_CHILD = "parent_child"
+MERGE_NONE = "none"
+
+
+@dataclasses.dataclass
+class Settings:
+    """User-facing solver settings.
+
+    Defaults follow the reference (src/settings.jl:101-139).
+    """
+
+    rho: float = 0.1
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    eps_abs: float = 1e-5
+    eps_rel: float = 1e-5
+    nearly_ratio: float = 100.0
+    eps_prim_inf: float = 1e-4
+    eps_dual_inf: float = 1e-4
+    max_iter: int = 5000
+    verbose: bool = False
+    kkt_solver: str = KKT_DENSE
+    check_termination: int = 25
+    check_infeasibility: int = 40
+    scaling: int = 10
+    MIN_SCALING: float = 1e-4
+    MAX_SCALING: float = 1e4
+    adaptive_rho: bool = True
+    adaptive_rho_interval: int = 40
+    adaptive_rho_tolerance: float = 5.0
+    adaptive_rho_fraction: float = 0.4
+    adaptive_rho_max_adaptions: int = 2**31 - 1
+    verbose_timing: bool = False
+    RHO_MIN: float = 1e-6
+    RHO_MAX: float = 1e6
+    RHO_TOL: float = 1e-4
+    RHO_EQ_OVER_RHO_INEQ: float = 1e3
+    COSMO_INFTY: float = 1e20
+    decompose: bool = True
+    complete_dual: bool = False
+    time_limit: float = 0.0
+    obj_true: float = float("nan")
+    obj_true_tol: float = 1e-3
+    merge_strategy: str = MERGE_CLIQUE_GRAPH
+    compact_transformation: bool = True
+    # Anderson acceleration (reference default:
+    # AndersonAccelerator{T, Type2{QRDecomp}, RestartedMemory, NoRegularizer}, mem=15)
+    accelerator: Optional[str] = "anderson"
+    accelerator_mem: int = 15
+    accelerator_activation: str = ACTIVATION_IMMEDIATE
+    accelerator_activation_iter: int = 2
+    accelerator_activation_accuracy: float = 1e-4
+    safeguard: bool = True
+    safeguard_tol: float = 2.0
+    # KKT indirect-solver controls (reference: kktsolver_indirect.jl:168-170)
+    kkt_cg_tol_constant: float = 1.0
+    kkt_cg_tol_exponent: float = 1.5
+    kkt_cg_max_iter: int = 250
+    # --- TPU-specific knobs (no reference equivalent) ---
+    # Pad PSD blocks up to a multiple of this size when bucketing, to reduce
+    # the number of distinct batched-eigh shapes (zero-padding is exact for
+    # PSD projection).
+    psd_pad_to: int = 8
+    # Use float64 where available (CPU); float32 otherwise.
+    dtype: Any = None
+    # Matmul precision for the solve. On TPU, float32 matmuls default to
+    # bfloat16 passes, which caps achievable residuals around 1e-3; 'highest'
+    # uses enough passes for true fp32 accuracy (needed for 1e-4/1e-5
+    # tolerances in float32).
+    matmul_precision: str = "highest"
+
+    def replace(self, **kwargs) -> "Settings":
+        return dataclasses.replace(self, **kwargs)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Settings":
+        """Build settings from a plain (string-keyed) dict.
+
+        Parity with the reference's python entry point
+        (src/settings.jl:167-183).
+        """
+        kwargs = {}
+        for key, val in d.items():
+            if not hasattr(cls, "__dataclass_fields__") or key not in cls.__dataclass_fields__:
+                raise KeyError(f"Unknown setting: {key}")
+            kwargs[key] = val
+        return cls(**kwargs)
+
+
+class StaticConfig(NamedTuple):
+    """Hashable solve configuration — part of the jit cache key."""
+
+    max_iter: int
+    check_termination: int
+    check_infeasibility: int
+    scaling_iters: int
+    adaptive_rho: bool
+    adaptive_rho_interval: int
+    adaptive_rho_max_adaptions: int
+    kkt_solver: str
+    kkt_cg_max_iter: int
+    accel_mem: int                 # 0 disables acceleration
+    accel_activation: str
+    safeguard: bool
+    check_obj_true: bool
+    m: int
+    n: int
+
+
+class DynConfig(NamedTuple):
+    """Dynamic (device-scalar) solve parameters; same dtype as the problem."""
+
+    rho: Any
+    sigma: Any
+    alpha: Any
+    eps_abs: Any
+    eps_rel: Any
+    eps_prim_inf: Any
+    eps_dual_inf: Any
+    min_scaling: Any
+    max_scaling: Any
+    rho_min: Any
+    rho_max: Any
+    rho_tol: Any
+    rho_eq_over_rho_ineq: Any
+    infty: Any
+    adaptive_rho_tolerance: Any
+    safeguard_tol: Any
+    obj_true: Any
+    obj_true_tol: Any
+    accel_activation_iter: Any
+    accel_activation_accuracy: Any
+    kkt_cg_tol_constant: Any
+    kkt_cg_tol_exponent: Any
+
+
+def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticConfig, DynConfig]:
+    """Split user settings into (static, dynamic) solve configuration."""
+    accel_mem = settings.accelerator_mem if settings.accelerator == "anderson" else 0
+    static = StaticConfig(
+        max_iter=int(settings.max_iter),
+        check_termination=int(settings.check_termination),
+        check_infeasibility=int(settings.check_infeasibility),
+        scaling_iters=int(settings.scaling),
+        adaptive_rho=bool(settings.adaptive_rho),
+        adaptive_rho_interval=int(settings.adaptive_rho_interval),
+        adaptive_rho_max_adaptions=min(int(settings.adaptive_rho_max_adaptions), 2**31 - 1),
+        kkt_solver=settings.kkt_solver,
+        kkt_cg_max_iter=int(settings.kkt_cg_max_iter),
+        accel_mem=int(accel_mem),
+        accel_activation=settings.accelerator_activation,
+        safeguard=bool(settings.safeguard),
+        check_obj_true=not np.isnan(settings.obj_true),
+        m=int(m),
+        n=int(n),
+    )
+    f = lambda x: np.asarray(x, dtype=dtype)
+    dyn = DynConfig(
+        rho=f(settings.rho),
+        sigma=f(settings.sigma),
+        alpha=f(settings.alpha),
+        eps_abs=f(settings.eps_abs),
+        eps_rel=f(settings.eps_rel),
+        eps_prim_inf=f(settings.eps_prim_inf),
+        eps_dual_inf=f(settings.eps_dual_inf),
+        min_scaling=f(settings.MIN_SCALING),
+        max_scaling=f(settings.MAX_SCALING),
+        rho_min=f(settings.RHO_MIN),
+        rho_max=f(settings.RHO_MAX),
+        rho_tol=f(settings.RHO_TOL),
+        rho_eq_over_rho_ineq=f(settings.RHO_EQ_OVER_RHO_INEQ),
+        infty=f(settings.COSMO_INFTY),
+        adaptive_rho_tolerance=f(settings.adaptive_rho_tolerance),
+        safeguard_tol=f(settings.safeguard_tol),
+        obj_true=f(settings.obj_true),
+        obj_true_tol=f(settings.obj_true_tol),
+        accel_activation_iter=np.asarray(settings.accelerator_activation_iter, dtype=np.int32),
+        accel_activation_accuracy=f(settings.accelerator_activation_accuracy),
+        kkt_cg_tol_constant=f(settings.kkt_cg_tol_constant),
+        kkt_cg_tol_exponent=f(settings.kkt_cg_tol_exponent),
+    )
+    return static, dyn

@@ -1,0 +1,428 @@
+"""The ADMM core: one jitted XLA program per solve.
+
+Reference call stack: src/solver.jl:78-203 (optimize!), :7-65 (admm_z!/
+admm_x!/admm_w!), :242-292 (rho adaptation), :303-356 (termination).
+
+TPU-first redesign: setup (Ruiz scaling, constraint classification, rho
+rules, KKT factorization), the over-relaxed ADMM iteration, residual /
+infeasibility / termination reductions and safeguarded Anderson acceleration
+are traced into a single ``jax.jit`` with the main loop as a
+``lax.while_loop``; nothing leaves the device until the loop terminates.
+Periodic work (termination every ``check_termination`` iters, infeasibility
+every ``check_infeasibility`` iters, rho adaptation) runs under ``lax.cond``
+so the common iteration stays a handful of fused kernels: the batched cone
+projection, the cached-factor triangular solves (or matrix-free CG), and
+O(m+n) vector updates.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import accel, results
+from .ops import infeasibility as infeas
+from .ops import kkt as kkt_ops
+from .ops import projections
+from .ops import residuals as res_ops
+from .ops import scaling as scaling_ops
+from .settings import DynConfig, StaticConfig, KKT_DENSE
+
+RHO_LOG_LEN = 64
+
+# rho row classes (reference: src/parameters.jl:17-49)
+_RHO_NORMAL = 0
+_RHO_EQ = 1
+_RHO_LOOSE = 2
+
+
+class LoopCarry(NamedTuple):
+    w: Any
+    w_prev: Any
+    s: Any
+    iter: Any
+    sg_iter: Any
+    status: Any
+    cost: Any
+    res: Any               # ResInfo
+    rho: Any
+    rho_vec: Any
+    kkt: Any               # DenseKKTState or () for CG
+    sol: Any               # [n+m] last KKT solution (CG warm start / views)
+    dx: Any
+    dy: Any
+    infeas_due: Any
+    rho_due: Any
+    n_rho_adapt: Any
+    rho_log: Any           # [RHO_LOG_LEN]
+    aa: Any                # AccelState or ()
+
+
+def _make_rho_vec(rho, rho_class, dyn):
+    """rho per row from the row class (reference: parameters.jl:17-49)."""
+    return jnp.where(
+        rho_class == _RHO_EQ,
+        rho * dyn.rho_eq_over_rho_ineq,
+        jnp.where(rho_class == _RHO_LOOSE, dyn.rho_min, rho),
+    )
+
+
+def _classify_rows(cones, b, lb, ub, dyn):
+    """Constraint classification on scaled data (reference: setup.jl:75-85,
+    convexset.jl:62-69 and :831-842)."""
+    thresh = dyn.infty * dyn.min_scaling
+    cls = jnp.zeros(b.shape[0], jnp.int32)
+    cls = jnp.where(cones.eq_mask, _RHO_EQ, cls)
+    cls = jnp.where(cones.nonneg_mask & (b > thresh), _RHO_LOOSE, cls)
+    box_loose = cones.box_mask & (lb < -thresh) & (ub > thresh)
+    box_eq = cones.box_mask & ((ub - lb) < dyn.rho_tol)
+    cls = jnp.where(box_loose, _RHO_LOOSE, jnp.where(box_eq, _RHO_EQ, cls))
+    return cls
+
+
+def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
+    """Full solve on device. All inputs are device arrays / pytrees; `static`
+    is hashable config. Wrap with jax.jit(static_argnums=(..,)) upstream."""
+    m, n = static.m, static.n
+    dtype = q.dtype
+
+    # ------------------------------------------------------------------
+    # Setup (reference: solver.jl:96-138, setup.jl)
+    # ------------------------------------------------------------------
+    if static.scaling_iters > 0:
+        P, A, q, b, lb, ub, sm = scaling_ops.ruiz_scale(
+            P, A, q, b, cones, static.scaling_iters, dyn
+        )
+    else:
+        sm = scaling_ops.identity_scale(m, n, dtype)
+        lb, ub = cones.lb, cones.ub
+    cones = dataclasses.replace(cones, lb=lb, ub=ub)
+
+    x, mu, s0v = scaling_ops.scale_variables(x0, mu0, s0, sm)
+
+    rho_class = _classify_rows(cones, b, lb, ub, dyn)
+    rho = dyn.rho
+    rho_vec = _make_rho_vec(rho, rho_class, dyn)
+    rho_log = jnp.zeros(RHO_LOG_LEN, dtype).at[0].set(rho)
+
+    use_dense = static.kkt_solver == KKT_DENSE
+    if use_dense:
+        kkt_state = kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec)
+    else:
+        kkt_state = ()
+
+    # ------------------------------------------------------------------
+    # ADMM operator pieces (reference: solver.jl:7-65)
+    # ------------------------------------------------------------------
+    def kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter):
+        if use_dense:
+            xt, nu = kkt_ops.dense_solve(kkt_state, A, rho_vec, r1, r2)
+        else:
+            tol = kkt_ops.cg_tolerance(admm_iter, dyn)
+            xt, nu, _ = kkt_ops.cg_solve(
+                P, A, dyn.sigma, rho_vec, r1, r2, sol_prev[:n], tol,
+                static.kkt_cg_max_iter,
+            )
+        return xt, nu
+
+    def admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter):
+        """admm_x! then admm_w! (solver.jl:32-65). Returns (w_new, sol)."""
+        r1 = dyn.sigma * w[:n] - q
+        r2 = b - 2.0 * s + w[n:]
+        xt, nu = kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter)
+        s_tl = 2.0 * s - w[n:] - nu / rho_vec
+        w1 = w[:n] + dyn.alpha * (xt - w[:n])
+        w2 = w[n:] + dyn.alpha * (s_tl - s)
+        return jnp.concatenate([w1, w2]), jnp.concatenate([xt, nu])
+
+    def plain_step(w, kkt_state, rho_vec, sol_prev, admm_iter):
+        """One full ADMM step: projection + x-update + w-update."""
+        s = projections.project(w[n:], cones)
+        w_new, sol = admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter)
+        return w_new, s, sol
+
+    def recover_mu(w_prev, s, rho_vec):
+        """Moreau: mu = rho (w - Pi(w)) (solver.jl:23-26)."""
+        return rho_vec * (w_prev[n:] - s)
+
+    # ------------------------------------------------------------------
+    # Initial state (solver.jl:125-138)
+    # ------------------------------------------------------------------
+    w0 = jnp.concatenate([x, s0v + mu / rho_vec])
+    sol0 = jnp.zeros(n + m, dtype)
+    # initialisation half-step so iterates agree with standard ADMM
+    w0, sol0 = admm_x_w(w0, s0v, kkt_state, rho_vec, sol0, jnp.asarray(1, jnp.int32))
+
+    big = jnp.asarray(jnp.inf, dtype)
+    res0 = res_ops.ResInfo(big, big, jnp.zeros((), dtype), jnp.zeros((), dtype))
+
+    if static.accel_mem > 0:
+        aa0 = accel.init_accel(n + m, static.accel_mem, dtype)
+    else:
+        aa0 = ()
+
+    carry0 = LoopCarry(
+        w=w0, w_prev=w0, s=s0v,
+        iter=jnp.zeros((), jnp.int32),
+        sg_iter=jnp.zeros((), jnp.int32),
+        status=jnp.asarray(results.UNDETERMINED, jnp.int32),
+        cost=big,
+        res=res0,
+        rho=rho,
+        rho_vec=rho_vec,
+        kkt=kkt_state,
+        sol=sol0,
+        dx=jnp.zeros(n, dtype),
+        dy=jnp.zeros(m, dtype),
+        infeas_due=jnp.asarray(False),
+        rho_due=jnp.asarray(False),
+        n_rho_adapt=jnp.zeros((), jnp.int32),
+        rho_log=rho_log,
+        aa=aa0,
+    )
+
+    # ------------------------------------------------------------------
+    # rho adaptation (reference: solver.jl:242-282, parameters.jl:53-92)
+    # ------------------------------------------------------------------
+    def adapt_rho(c: LoopCarry) -> LoopCarry:
+        mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
+        x_k = c.w_prev[:n]
+        rp, rd = res_ops.calculate_residuals(
+            P, A, q, b, x_k, c.s, mu_k, sm, ignore_scaling=True
+        )
+        mp, md = res_ops.max_res_component_norm(
+            P, A, q, b, x_k, c.s, mu_k, sm, ignore_scaling=True
+        )
+        rp = rp / (mp + 1e-10)
+        rd = rd / (md + 1e-10)
+        new_rho = c.rho * jnp.sqrt(rp / (rd + 1e-10))
+        new_rho = jnp.clip(new_rho, dyn.rho_min, dyn.rho_max)
+        changed = (new_rho > dyn.adaptive_rho_tolerance * c.rho) | (
+            new_rho < c.rho / dyn.adaptive_rho_tolerance
+        )
+
+        def apply(c: LoopCarry) -> LoopCarry:
+            rho_vec = _make_rho_vec(new_rho, rho_class, dyn)
+            kkt_new = kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec) if use_dense else ()
+            # re-express w in the new scaling (solver.jl:278)
+            w2 = mu_k / rho_vec + c.s
+            w = jnp.concatenate([c.w[:n], w2])
+            idx = jnp.minimum(c.n_rho_adapt + 1, RHO_LOG_LEN - 1)
+            aa = accel.restart(c.aa) if static.accel_mem > 0 else ()
+            return c._replace(
+                rho=new_rho, rho_vec=rho_vec, kkt=kkt_new, w=w,
+                n_rho_adapt=c.n_rho_adapt + 1,
+                rho_log=c.rho_log.at[idx].set(new_rho),
+                aa=aa,
+            )
+
+        return lax.cond(changed, apply, lambda c: c, c)
+
+    def nonaccel_iter(c: LoopCarry):
+        """True when this iteration's base point is a plain ADMM iterate, so
+        deferred rho/infeasibility updates may run
+        (reference: solver.jl:284-292). Evaluated once per iteration, right
+        after acceleration_pre, so the top/bottom delta_y bookkeeping stays
+        consistent even if the safeguard later rejects the candidate."""
+        if static.accel_mem > 0:
+            return ~c.aa.success
+        return jnp.asarray(True)
+
+    # ------------------------------------------------------------------
+    # termination / infeasibility checks (solver.jl:303-356)
+    # ------------------------------------------------------------------
+    def check_termination(c: LoopCarry) -> LoopCarry:
+        mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
+        x_k = c.w_prev[:n]
+        info = res_ops.result_info(P, A, q, b, x_k, c.s, mu_k, sm)
+        cost = res_ops.calculate_cost(P, q, x_k, sm.cinv)
+
+        status = c.status
+        status = jnp.where(jnp.abs(cost) > 1e20, results.UNSOLVED, status)
+
+        conv = res_ops.has_converged(info, dyn.eps_abs, dyn.eps_rel)
+        if static.check_obj_true:
+            conv &= jnp.abs(dyn.obj_true - cost) <= dyn.obj_true_tol
+        status = jnp.where(
+            (status == results.UNDETERMINED) & conv, results.SOLVED, status
+        )
+
+        c = c._replace(cost=cost, res=info, status=status)
+        # AccuracyActivation (reference: accelerator_interface.jl:38-46)
+        if static.accel_mem > 0 and static.accel_activation == "accuracy":
+            tol = dyn.accel_activation_accuracy
+            near = (info.r_prim < tol + tol * info.max_norm_prim) & (
+                info.r_dual < tol + tol * info.max_norm_dual
+            )
+            c = c._replace(aa=c.aa._replace(active=c.aa.active | near))
+        return c
+
+    def check_infeasibility(c: LoopCarry) -> LoopCarry:
+        mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
+        dy = c.dy - mu_k
+        dx = c.w[:n] - c.w_prev[:n]
+        prim_inf = infeas.is_primal_infeasible(dy, P, A, b, cones, sm, dyn.eps_prim_inf)
+        dual_inf = infeas.is_dual_infeasible(dx, P, A, q, cones, sm, dyn.eps_dual_inf)
+        status = c.status
+        cost = c.cost
+        status = jnp.where(
+            (status == results.UNDETERMINED) & prim_inf,
+            results.PRIMAL_INFEASIBLE, status,
+        )
+        cost = jnp.where(prim_inf, jnp.asarray(jnp.inf, dtype), cost)
+        status = jnp.where(
+            (status == results.UNDETERMINED) & dual_inf,
+            results.DUAL_INFEASIBLE, status,
+        )
+        cost = jnp.where(dual_inf & ~prim_inf, jnp.asarray(-jnp.inf, dtype), cost)
+        return c._replace(
+            dy=dy, dx=dx, status=status, cost=cost, infeas_due=jnp.asarray(False)
+        )
+
+    # ------------------------------------------------------------------
+    # main loop body (solver.jl:140-165)
+    # ------------------------------------------------------------------
+    def body(c: LoopCarry) -> LoopCarry:
+        it = c.iter + 1
+        c = c._replace(iter=it)
+
+        # --- acceleration_pre (accelerator_interface.jl:58-75) ---
+        if static.accel_mem > 0:
+            aa = c.aa
+            if static.accel_activation == "immediate":
+                aa = aa._replace(active=aa.active | (it >= 2))
+            elif static.accel_activation == "iter":
+                aa = aa._replace(active=aa.active | (it >= dyn.accel_activation_iter))
+
+            def do_accel(args):
+                aa, w = args
+                aa = accel.update(aa, w, c.w_prev)
+                w_new, aa = accel.accelerate(aa, w)
+                return aa, w_new
+
+            def no_accel(args):
+                aa, w = args
+                return aa._replace(success=jnp.asarray(False)), w
+
+            aa, w = lax.cond(aa.active, do_accel, no_accel, (aa, c.w))
+            c = c._replace(aa=aa, w=w)
+
+        # snapshot the deferred-update predicate for this whole iteration
+        deferred_ok = nonaccel_iter(c)
+
+        # --- delta_y bookkeeping for infeasibility (solver.jl:145-148) ---
+        def set_dy(c: LoopCarry) -> LoopCarry:
+            mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
+            return c._replace(dy=mu_k)
+
+        c = lax.cond(c.infeas_due & deferred_ok, set_dy, lambda c: c, c)
+
+        # --- ADMM step ---
+        c = c._replace(w_prev=c.w)
+        s = projections.project(c.w[n:], cones)
+        c = c._replace(s=s)
+
+        # --- rho adaptation rules (solver.jl:242-282) ---
+        if static.adaptive_rho:
+            interval = static.adaptive_rho_interval if static.adaptive_rho_interval > 0 else 40
+            due = c.rho_due | (
+                (jnp.mod(it, interval) == 0)
+                & (c.n_rho_adapt < static.adaptive_rho_max_adaptions)
+            )
+            c = c._replace(rho_due=due)
+            do_it = c.rho_due & deferred_ok
+            c = lax.cond(
+                do_it,
+                lambda c: adapt_rho(c)._replace(rho_due=jnp.asarray(False)),
+                lambda c: c,
+                c,
+            )
+
+        w_new, sol = admm_x_w(c.w, c.s, c.kkt, c.rho_vec, c.sol, it)
+        c = c._replace(w=w_new, sol=sol)
+
+        # --- acceleration_post: safeguarding (accelerator_interface.jl:85-114) ---
+        if static.accel_mem > 0 and static.safeguard:
+            def safeguard(c: LoopCarry) -> LoopCarry:
+                nrm_f = jnp.linalg.norm(c.aa.f_last)
+                nrm_f_acc = jnp.linalg.norm(c.w_prev - c.w)
+
+                def decline(c: LoopCarry) -> LoopCarry:
+                    g = c.aa.g_last
+                    w_new, s, sol = plain_step(g, c.kkt, c.rho_vec, c.sol, c.iter)
+                    # the iteration ends on a plain ADMM step, so deferred
+                    # rho/infeasibility updates may run at the next iteration
+                    aa = c.aa._replace(
+                        n_declined=c.aa.n_declined + 1,
+                        success=jnp.asarray(False),
+                    )
+                    return c._replace(
+                        w=w_new, w_prev=g, s=s, sol=sol,
+                        sg_iter=c.sg_iter + 1, aa=aa,
+                    )
+
+                bad = nrm_f_acc > dyn.safeguard_tol * nrm_f
+                return lax.cond(bad, decline, lambda c: c, c)
+
+            c = lax.cond(c.aa.success, safeguard, lambda c: c, c)
+
+        # --- termination check (solver.jl:303-321) ---
+        check_now = (jnp.mod(it, static.check_termination) == 0) | (it == 1)
+        c = lax.cond(check_now, check_termination, lambda c: c, c)
+
+        # --- infeasibility flag logic (solver.jl:323-349) ---
+        set_due = jnp.mod(it, static.check_infeasibility) == 0
+        do_check = (~set_due) & c.infeas_due & deferred_ok
+        c = c._replace(infeas_due=c.infeas_due | set_due)
+        c = lax.cond(do_check, check_infeasibility, lambda c: c, c)
+
+        return c
+
+    def cond(c: LoopCarry):
+        return (c.status == results.UNDETERMINED) & (
+            c.iter + c.sg_iter < static.max_iter
+        )
+
+    c = lax.while_loop(cond, body, carry0)
+
+    # ------------------------------------------------------------------
+    # post-processing (solver.jl:167-201)
+    # ------------------------------------------------------------------
+    mu_final = recover_mu(c.w_prev, c.s, c.rho_vec)
+    x_final = c.w_prev[:n]
+
+    def finalize_maxiter(c: LoopCarry) -> LoopCarry:
+        info = res_ops.result_info(P, A, q, b, x_final, c.s, mu_final, sm)
+        return c._replace(res=info, status=jnp.asarray(results.MAX_ITER_REACHED, jnp.int32))
+
+    c = lax.cond(
+        c.status == results.UNDETERMINED, finalize_maxiter, lambda c: c, c
+    )
+
+    x_out, mu_out, s_out = scaling_ops.unscale_variables(x_final, mu_final, c.s, sm)
+    y_out = -mu_out
+
+    return dict(
+        x=x_out,
+        y=y_out,
+        s=s_out,
+        cost=c.cost,
+        status=c.status,
+        iter=c.iter,
+        safeguarding_iter=c.sg_iter,
+        r_prim=c.res.r_prim,
+        r_dual=c.res.r_dual,
+        max_norm_prim=c.res.max_norm_prim,
+        max_norm_dual=c.res.max_norm_dual,
+        n_rho_adapt=c.n_rho_adapt,
+        rho_log=c.rho_log,
+        n_accelerated=(c.aa.n_accelerated if static.accel_mem > 0 else jnp.zeros((), jnp.int32)),
+    )
+
+
+# jitted entry: cones is a pytree arg; static config is hashable
+solve_jit = jax.jit(solve, static_argnames=("static",))
