@@ -1,5 +1,4 @@
-"""Chordal decomposition of sparse PSD constraints (host-side setup).
+from .decompose import decompose, reverse
+from .transform import ChordalInfo, SparsityPattern
 
-Reference: src/chordal_decomposition/ (trees.jl, clique_graph.jl,
-clique_merging.jl, transformations.jl, chordal_decomposition.jl).
-"""
+__all__ = ["decompose", "reverse", "ChordalInfo", "SparsityPattern"]

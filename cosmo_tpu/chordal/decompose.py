@@ -1,16 +1,113 @@
 """Chordal decomposition orchestration (host side).
 
-Reference: src/chordal_decomposition/chordal_decomposition.jl.
+Reference behavior: src/chordal_decomposition/chordal_decomposition.jl
+(chordal_decomposition! / find_sparsity_patterns! / reverse_decomposition!).
 
-Stage placeholder: returns None (no decomposition) until the full
-trees/merging/transformation pipeline lands.
+Pipeline per decomposable PSD triangle cone:
+ 1. aggregate sparsity of its rows in A and b (+ the diagonal),
+ 2. chordal extension via minimum-degree ordering + symbolic Cholesky,
+ 3. supernodal clique tree (Pothen–Sun),
+ 4. clique merging (clique-graph / parent-child / none),
+ 5. consecutive-supernode reordering (for PSD completion),
+ 6. compact re-rowing of A, b with overlap consistency variables.
+
+Everything runs at setup time on the host; the solver sees just a bigger
+problem whose PSD cones are many small clique blocks — the axis that maps
+onto TPU batching and mesh sharding.
 """
 from __future__ import annotations
 
+from typing import List, Optional
 
-def decompose(P, q, A, b, sets, settings):
-    return None
+import numpy as np
+
+from ..models import cones as C
+from . import graph as graph_mod
+from . import merging, trees
+from .transform import (
+    ChordalInfo,
+    SparsityPattern,
+    compact_transform,
+    reverse_transform,
+    tri_dim,
+)
 
 
-def reverse(chordal_info, x, y, s, settings):
-    return x, y, s
+def _aggregate_sparsity(A_rows: np.ndarray, b_rows: np.ndarray, side: int):
+    """Nonzero svec indices of the cone's rows in A and b, with the diagonal
+    always included (reference: chordal_decomposition.jl:100-115)."""
+    nz = np.any(A_rows != 0.0, axis=1) | (b_rows != 0.0)
+    diag = np.array([tri_dim(i + 1) - 1 for i in range(side)], dtype=np.int64)
+    nz[diag] = True
+    return np.where(nz)[0]
+
+
+def _adjacency_from_svec(nz: np.ndarray, side: int) -> List[set]:
+    """Graph on the matrix vertices from the nonzero svec entries."""
+    adj: List[set] = [set() for _ in range(side)]
+    # svec index k -> (i, j): j is the triangle column
+    j = ((np.sqrt(8.0 * nz + 1.0) - 1.0) / 2.0).astype(np.int64)
+    # guard float rounding at triangle boundaries
+    j = np.where(j * (j + 1) // 2 > nz, j - 1, j)
+    j = np.where((j + 1) * (j + 2) // 2 <= nz, j + 1, j)
+    i = nz - j * (j + 1) // 2
+    for ii, jj in zip(i, j):
+        if ii != jj:
+            adj[int(ii)].add(int(jj))
+            adj[int(jj)].add(int(ii))
+    return adj
+
+
+def analyse_cone(
+    A_rows: np.ndarray, b_rows: np.ndarray, side: int, merge_strategy: str
+):
+    """Sparsity analysis + clique tree + merging for one PSD triangle cone.
+    Returns (tree, ordering) or None if the cone is effectively dense."""
+    nz = _aggregate_sparsity(A_rows, b_rows, side)
+    if nz.size >= tri_dim(side):
+        return None
+    adj = _adjacency_from_svec(nz, side)
+    cols, perm = graph_mod.chordal_extension(adj)
+    t = trees.build_clique_tree(cols, graph_mode=(merge_strategy == "clique_graph"))
+    merging.merge_cliques(t, merge_strategy)
+    if t.num <= 1:
+        return None
+    ordering = trees.reorder_snd_consecutively(t, perm)
+    return t, ordering
+
+
+def decompose(P, q, A, b, sets, settings) -> Optional[ChordalInfo]:
+    """Analyse all decomposable PSD cones and build the compact decomposed
+    problem. Returns None when nothing decomposes."""
+    patterns: List[SparsityPattern] = []
+    row = 0
+    for k, cone in enumerate(sets):
+        d = cone.dim
+        if (
+            isinstance(cone, C.PsdConeTriangle)
+            and getattr(cone, "decomposable", False)
+            and not isinstance(cone, C.DensePsdConeTriangle)
+        ):
+            res = analyse_cone(
+                A[row : row + d], b[row : row + d], cone.side,
+                settings.merge_strategy,
+            )
+            if res is not None:
+                t, ordering = res
+                patterns.append(
+                    SparsityPattern(
+                        tree=t, ordering=ordering, cone_index=k,
+                        row_start=row, side=cone.side,
+                    )
+                )
+        row += d
+
+    if not patterns:
+        return None
+    return compact_transform(P, q, A, b, sets, patterns)
+
+
+def reverse(chordal_info: ChordalInfo, x, y, s, settings):
+    return reverse_transform(
+        chordal_info, x, y, s, complete_dual=settings.complete_dual
+    )

@@ -1,0 +1,272 @@
+"""Clique-tree-based (compact) decomposition transform and its reverse.
+
+Reference behavior: src/chordal_decomposition/transformations.jl:142-426
+(augment_clique_based!/add_entries!) and chordal_decomposition.jl:129-311
+(reverse_decomposition!/add_sub_blocks!/psd_complete!).
+
+The compact transformation (Kim et al. 2011) re-rows the problem so that
+every clique block of a decomposed PSD cone occupies contiguous rows, and
+couples overlapping entries between a clique and its parent clique through
+new variables with (+1, -1) consistency columns:
+
+  child row:   u_k + s_child(i,j) = 0
+  parent row:  (original data row for (i,j)) - u_k + s_par(i,j) = b(i,j)
+
+so that summing all block contributions reproduces the original entry.
+
+Everything here is host-side setup (NumPy); the output is just a bigger
+conic problem plus static index maps for the reverse transform.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..models import cones as C
+from .trees import CliqueTree
+
+
+def tri_dim(r: int) -> int:
+    return r * (r + 1) // 2
+
+
+def tri_index(i: int, j: int) -> int:
+    """svec index of (i, j), i <= j, column-major upper triangle (0-based)."""
+    return j * (j + 1) // 2 + i
+
+
+@dataclasses.dataclass
+class SparsityPattern:
+    """Chordal sparsity analysis of one decomposable PSD cone
+    (reference: src/types.jl:192-215)."""
+
+    tree: CliqueTree
+    ordering: np.ndarray    # tree vertex -> original matrix index
+    cone_index: int         # position of the cone in the original set list
+    row_start: int          # first row of the cone in the original problem
+    side: int               # original matrix side N
+
+
+@dataclasses.dataclass
+class ChordalInfo:
+    """Everything needed to solve the decomposed problem and undo it."""
+
+    problem: tuple          # (P, q, A, b, sets) of the decomposed problem
+    m_orig: int
+    n_orig: int
+    sets_orig: list
+    patterns: List[SparsityPattern]
+    row_map: np.ndarray     # [m_new] -> original row index (total map)
+    num_overlaps: int
+
+
+def _clique_entries(clique_sorted: List[int]):
+    """All (i, j) with i <= j from the sorted clique vertex list, in svec
+    (column-major upper-triangle) order over the *original* indices —
+    the block row layout (reference: transformations.jl:396-426)."""
+    out = []
+    for jj, j in enumerate(clique_sorted):
+        for ii in range(jj + 1):
+            out.append((clique_sorted[ii], j))
+    return out
+
+
+def compact_transform(
+    P: np.ndarray,
+    q: np.ndarray,
+    A: np.ndarray,
+    b: np.ndarray,
+    sets: list,
+    patterns: List[SparsityPattern],
+) -> ChordalInfo:
+    """Build the decomposed problem (reference: augment_clique_based!,
+    transformations.jl:152-200)."""
+    m, n = A.shape
+    pat_by_cone = {p.cone_index: p for p in patterns}
+
+    # --- sizes ---
+    num_overlaps = 0
+    m_new = 0
+    for k, cone in enumerate(sets):
+        if k in pat_by_cone:
+            t = pat_by_cone[k].tree
+            for pos in range(t.num):
+                c = int(t.snd_post[pos])
+                nblk = len(t.snd[c]) + len(t.sep[c])
+                m_new += tri_dim(nblk)
+                num_overlaps += tri_dim(len(t.sep[c]))
+        else:
+            m_new += cone.dim
+    n_new = n + num_overlaps
+
+    A_new = np.zeros((m_new, n_new), dtype=A.dtype)
+    b_new = np.zeros(m_new, dtype=b.dtype)
+    row_map = np.zeros(m_new, dtype=np.int64)
+    sets_new: list = []
+
+    row_ptr = 0
+    overlap_col = n
+    row_start_orig = 0
+    for k, cone in enumerate(sets):
+        if k not in pat_by_cone:
+            d = cone.dim
+            A_new[row_ptr : row_ptr + d, :n] = A[row_start_orig : row_start_orig + d]
+            b_new[row_ptr : row_ptr + d] = b[row_start_orig : row_start_orig + d]
+            row_map[row_ptr : row_ptr + d] = np.arange(
+                row_start_orig, row_start_orig + d
+            )
+            sets_new.append(cone)
+            row_ptr += d
+            row_start_orig += d
+            continue
+
+        pat = pat_by_cone[k]
+        t = pat.tree
+        ordering = pat.ordering
+        rs = row_start_orig
+
+        # row starts per clique (layout: post positions from last to first,
+        # reference: add_entries! loop num_cliques:-1:1)
+        clique_row_start = {}
+        rp = row_ptr
+        for pos in range(t.num - 1, -1, -1):
+            c = int(t.snd_post[pos])
+            clique_row_start[c] = rp
+            rp += tri_dim(len(t.snd[c]) + len(t.sep[c]))
+
+        for pos in range(t.num - 1, -1, -1):
+            c = int(t.snd_post[pos])
+            snd_o = {int(ordering[v]) for v in t.snd[c]}
+            sep_o = {int(ordering[v]) for v in t.sep[c]}
+            clique_sorted = sorted(snd_o | sep_o)
+
+            par = int(t.snd_par[c])
+            if par >= 0:
+                par_clique = sorted(
+                    {int(ordering[v]) for v in (t.snd[par] | t.sep[par])}
+                )
+                par_pos = {v: i for i, v in enumerate(par_clique)}
+                par_row0 = clique_row_start[par]
+
+            base = clique_row_start[c]
+            for counter, (i, j) in enumerate(_clique_entries(clique_sorted)):
+                new_row = base + counter
+                orig_row = rs + tri_index(i, j)
+                row_map[new_row] = orig_row
+                if i in sep_o and j in sep_o:
+                    # overlap entry: +1 here, -1 in the parent clique's row
+                    A_new[new_row, overlap_col] = 1.0
+                    pr = par_row0 + tri_index(par_pos[i], par_pos[j])
+                    A_new[pr, overlap_col] = -1.0
+                    overlap_col += 1
+                else:
+                    A_new[new_row, :n] = A[orig_row]
+                    b_new[new_row] = b[orig_row]
+
+            nblk = len(clique_sorted)
+            blk = C.PsdConeTriangle(tri_dim(nblk))
+            sets_new.append(blk)
+
+        row_ptr = rp
+        row_start_orig += cone.dim
+
+    P_new = np.zeros((n_new, n_new), dtype=P.dtype)
+    P_new[:n, :n] = P
+    q_new = np.concatenate([q, np.zeros(num_overlaps, dtype=q.dtype)])
+
+    return ChordalInfo(
+        problem=(P_new, q_new, A_new, b_new, sets_new),
+        m_orig=m,
+        n_orig=n,
+        sets_orig=list(sets),
+        patterns=patterns,
+        row_map=row_map,
+        num_overlaps=num_overlaps,
+    )
+
+
+def reverse_transform(
+    info: ChordalInfo,
+    x: np.ndarray,
+    y: np.ndarray,
+    s: np.ndarray,
+    complete_dual: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Map the decomposed solution back to the original problem
+    (reference: reverse_decomposition!, chordal_decomposition.jl:129-213).
+
+    ``s`` block entries scatter-add (the ±overlap contributions cancel);
+    ``mu = -y`` entries overwrite (later blocks win, matching the reference's
+    iteration order); optionally PSD-complete the dual.
+    """
+    x_o = x[: info.n_orig]
+    mu = -y
+    s_o = np.zeros(info.m_orig, dtype=s.dtype)
+    mu_o = np.zeros(info.m_orig, dtype=y.dtype)
+
+    np.add.at(s_o, info.row_map, s)
+    # overwrite semantics with "last write wins" (reference add_blocks! order)
+    rev = info.row_map[::-1]
+    _, first_of_rev = np.unique(rev, return_index=True)
+    last_idx = len(info.row_map) - 1 - first_of_rev
+    mu_o[info.row_map[last_idx]] = mu[last_idx]
+
+    if complete_dual:
+        for pat in info.patterns:
+            _psd_complete_pattern(mu_o, pat)
+
+    return x_o, -mu_o, s_o
+
+
+def _psd_complete_pattern(mu: np.ndarray, pat: SparsityPattern) -> None:
+    """PSD completion of the dual block Y = -mu for one decomposed cone via
+    clique-tree back-substitution (Vandenberghe, Chordal Graphs and
+    Semidefinite Optimization, p.362; reference:
+    chordal_decomposition.jl:263-311)."""
+    N = pat.side
+    d = tri_dim(N)
+    rows = slice(pat.row_start, pat.row_start + d)
+
+    # y = -mu, unpack svec -> dense symmetric
+    v = -mu[rows]
+    i_idx, j_idx = _tri_rows_cols(N)
+    scale = np.where(i_idx == j_idx, 1.0, 1.0 / np.sqrt(2.0))
+    Y = np.zeros((N, N), dtype=mu.dtype)
+    Y[i_idx, j_idx] = v * scale
+    Y[j_idx, i_idx] = v * scale
+
+    p = pat.ordering
+    ip = np.empty(N, dtype=np.int64)
+    ip[p] = np.arange(N)
+    W = Y[np.ix_(p, p)].copy()
+
+    t = pat.tree
+    for jj in range(t.num - 2, -1, -1):
+        c = int(t.snd_post[jj])
+        nu = sorted(t.snd[c])
+        alpha = sorted(t.sep[c])
+        i0 = nu[0]
+        excl = set(alpha) | set(nu)
+        eta = [v_ for v_ in range(i0 + 1, N) if v_ not in excl]
+        if not alpha or not eta:
+            continue
+        Waa = W[np.ix_(alpha, alpha)]
+        Wan = W[np.ix_(alpha, nu)]
+        try:
+            Yblk = np.linalg.solve(Waa, Wan)
+        except np.linalg.LinAlgError:
+            Yblk = np.linalg.pinv(Waa) @ Wan
+        W[np.ix_(eta, nu)] = W[np.ix_(eta, alpha)] @ Yblk
+        W[np.ix_(nu, eta)] = W[np.ix_(eta, nu)].T
+
+    Y_full = W[np.ix_(ip, ip)]
+    out_scale = np.where(i_idx == j_idx, 1.0, np.sqrt(2.0))
+    mu[rows] = -(Y_full[i_idx, j_idx] * out_scale)
+
+
+def _tri_rows_cols(r: int):
+    j = np.repeat(np.arange(r), np.arange(1, r + 1))
+    i = np.arange(tri_dim(r)) - j * (j + 1) // 2
+    return i, j

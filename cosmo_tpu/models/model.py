@@ -232,11 +232,9 @@ class Model:
             isinstance(s, (C.PsdCone, C.PsdConeTriangle)) and getattr(s, "decomposable", False)
             for s in sets
         ):
-            from ..chordal import decompose as chordal_decompose
+            from .. import chordal
 
-            chordal_info = chordal_decompose.decompose(
-                P, q, A, b, sets, settings
-            )
+            chordal_info = chordal.decompose(P, q, A, b, sets, settings)
             if chordal_info is not None:
                 P, q, A, b, sets = chordal_info.problem
                 self.is_decomposed = True
@@ -278,9 +276,9 @@ class Model:
         y = out["y"]
         s = out["s"]
         if chordal_info is not None:
-            from ..chordal import decompose as chordal_decompose
+            from .. import chordal
 
-            x, y, s = chordal_decompose.reverse(chordal_info, x, y, s, settings)
+            x, y, s = chordal.reverse(chordal_info, x, y, s, settings)
         times.post_time = time.perf_counter() - t_post
 
         status = results_mod.STATUS_NAMES[int(out["status"])]

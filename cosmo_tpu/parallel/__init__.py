@@ -1,1 +1,3 @@
-"""Multi-device sharding of the solve (mesh helpers, sharded solve)."""
+from .mesh import BLOCK_AXIS, make_mesh, shard_cones, shard_problem
+
+__all__ = ["BLOCK_AXIS", "make_mesh", "shard_cones", "shard_problem"]

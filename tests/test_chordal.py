@@ -1,0 +1,154 @@
+"""Chordal decomposition tests.
+
+Mirrors the reference test strategy (SURVEY.md §4, reference
+test/UnitTests/DecompositionTests/): the 9x9 docs example cliques, solve
+parity with/without decomposition across merge strategies, PSD-ness of the
+reassembled primal block and of the completed dual.
+"""
+import numpy as np
+import pytest
+
+import cosmo_tpu as ct
+from cosmo_tpu import problems
+from cosmo_tpu.chordal import graph, merging, trees
+from cosmo_tpu.problems import smat, svec, tri_dim
+
+
+def _docs_example_adj():
+    """The 9x9 sparsity graph from reference docs/src/decomposition.md
+    (0-based edges)."""
+    edges = [
+        (0, 2), (0, 5), (1, 2), (2, 5), (2, 6), (2, 7), (3, 4), (3, 7),
+        (4, 7), (5, 6), (5, 7), (6, 7), (5, 8), (6, 8), (7, 8),
+    ]
+    adj = [set() for _ in range(9)]
+    for i, j in edges:
+        adj[i].add(j)
+        adj[j].add(i)
+    return adj
+
+
+def test_docs_example_cliques():
+    """Expected cliques {1,3,6},{2,3},{3,6,7,8},{4,5,8},{6,7,8,9}
+    (1-based; reference docs/src/decomposition.md)."""
+    adj = _docs_example_adj()
+    cols, perm = graph.chordal_extension(adj)
+    t = trees.build_clique_tree(cols, graph_mode=False)
+    assert t.num == 5
+    cliques = set()
+    for pos in range(t.num):
+        c = int(t.snd_post[pos])
+        cliques.add(frozenset(int(perm[v]) + 1 for v in (t.snd[c] | t.sep[c])))
+    expected = {
+        frozenset({1, 3, 6}), frozenset({2, 3}), frozenset({3, 6, 7, 8}),
+        frozenset({4, 5, 8}), frozenset({6, 7, 8, 9}),
+    }
+    assert cliques == expected
+
+
+def test_clique_graph_merge_weight():
+    """Merge weight |C1|^3+|C2|^3-|C1 u C2|^3 (reference:
+    clique_merging.jl:403)."""
+    w = merging._complexity_weight({0, 1, 2}, {2, 3, 4})
+    assert w == 27 + 27 - 125
+    w2 = merging._complexity_weight({0, 1, 2}, {1, 2})
+    assert w2 == 27 + 8 - 27
+
+
+def test_chordal_extension_is_chordal():
+    """Every column's higher neighborhood must form a clique in the filled
+    graph (defining property used by the clique decomposition)."""
+    rng = np.random.default_rng(3)
+    n = 25
+    adj = [set() for _ in range(n)]
+    for _ in range(60):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            adj[int(i)].add(int(j))
+            adj[int(j)].add(int(i))
+    cols, perm = graph.chordal_extension(adj)
+    filled = [set(int(x) for x in c) for c in cols]
+    for v in range(n):
+        nb = sorted(filled[v])
+        for a_i in range(len(nb)):
+            for b_i in range(a_i + 1, len(nb)):
+                a_, b_ = nb[a_i], nb[b_i]
+                assert b_ in filled[a_], "fill-in not chordal"
+
+
+@pytest.mark.parametrize("strategy", ["none", "clique_graph", "parent_child"])
+def test_banded_sdp_decomposition_parity(strategy):
+    P, q, A, b, sets, L = problems.banded_sdp(n_nodes=20, bandwidth=3, seed=1)
+    m0 = ct.Model(ct.Settings(decompose=False, eps_abs=1e-6, eps_rel=1e-6))
+    m0.set(P, q, A, b, sets)
+    r0 = m0.optimize()
+    assert r0.status == "Solved"
+
+    m1 = ct.Model(
+        ct.Settings(
+            decompose=True, merge_strategy=strategy, eps_abs=1e-6, eps_rel=1e-6
+        )
+    )
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert m1.is_decomposed
+    assert r1.status == "Solved"
+    assert abs(r1.obj_val - r0.obj_val) < 1e-3
+    # reassembled primal slack must be PSD
+    S = smat(r1.s)
+    assert np.linalg.eigvalsh(S).min() > -1e-7
+    # x parity
+    assert np.allclose(r1.x, r0.x, atol=1e-3)
+
+
+def test_psd_completion_of_dual():
+    """With complete_dual=True the dual block must be PSD after completion
+    (reference: test/UnitTests/DecompositionTests/psd_completion.jl)."""
+    P, q, A, b, sets, L = problems.banded_sdp(n_nodes=20, bandwidth=3, seed=5)
+    m1 = ct.Model(
+        ct.Settings(
+            decompose=True, merge_strategy="clique_graph", complete_dual=True,
+            eps_abs=1e-7, eps_rel=1e-7,
+        )
+    )
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert r1.status == "Solved"
+    Y = smat(r1.y)
+    assert np.linalg.eigvalsh(Y).min() > -1e-4
+
+
+def test_maxcut_decomposed_vs_not():
+    P, q, A, b, sets, L = problems.maxcut(n_nodes=25, density=0.15, seed=7)
+    m0 = ct.Model(ct.Settings(decompose=False, eps_abs=1e-6, eps_rel=1e-6))
+    m0.set(P, q, A, b, sets)
+    r0 = m0.optimize()
+    m1 = ct.Model(ct.Settings(decompose=True, eps_abs=1e-6, eps_rel=1e-6))
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert r0.status == "Solved" and r1.status == "Solved"
+    assert abs(r1.obj_val - r0.obj_val) / max(1.0, abs(r0.obj_val)) < 1e-3
+
+
+def test_dense_pattern_not_decomposed():
+    """A dense PSD cone must be left alone (reference:
+    chordal_decomposition.jl:53-60 falls back to the dense equivalent)."""
+    P, q, A, b, sets, _ = problems.closest_correlation(n=8, seed=0)
+    m1 = ct.Model(ct.Settings(decompose=True))
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert not m1.is_decomposed
+    assert r1.status == "Solved"
+
+
+def test_merge_reduces_clique_count():
+    adj = _docs_example_adj()
+    cols, perm = graph.chordal_extension(adj)
+    t = trees.build_clique_tree(cols, graph_mode=True)
+    n_before = t.num
+    merging.merge_cliques(t, "clique_graph")
+    assert 1 <= t.num <= n_before
+    # after merging, a valid clique tree exists: exactly one root among live
+    live = [k for k in range(len(t.snd)) if len(t.snd[k]) + len(t.sep[k]) > 0]
+    roots = [k for k in live if t.snd_par[k] == trees.ROOT]
+    assert len(roots) == 1
