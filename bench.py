@@ -116,15 +116,17 @@ def main():
         out = solver_mod.solve_jit(
             Pd, Ad, qd, bd, cones, x0, s0, mu0, dyn, static=static
         )
-        jax.block_until_ready(out)
-        return out
+        # int() forces a host transfer: through the remote-TPU tunnel,
+        # block_until_ready alone does not reliably synchronize
+        return int(out["iter"]), float(out["r_prim"])
 
     run()  # compile + warm caches
-    t0 = time.perf_counter()
-    out = run()
-    t = time.perf_counter() - t0
-    iters = int(out["iter"])
-    tpu_ips = iters / t
+    t_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        iters, _rp = run()
+        t_best = min(t_best, time.perf_counter() - t0)
+    tpu_ips = iters / t_best
 
     base_ips = _numpy_baseline(P, q, A, b, N_BLOCKS, SIDE, BASE_ITERS)
 

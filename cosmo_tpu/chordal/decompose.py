@@ -33,10 +33,16 @@ from .transform import (
 )
 
 
-def _aggregate_sparsity(A_rows: np.ndarray, b_rows: np.ndarray, side: int):
+def _aggregate_sparsity(A_rows, b_rows: np.ndarray, side: int):
     """Nonzero svec indices of the cone's rows in A and b, with the diagonal
     always included (reference: chordal_decomposition.jl:100-115)."""
-    nz = np.any(A_rows != 0.0, axis=1) | (b_rows != 0.0)
+    import scipy.sparse as sp
+
+    if sp.issparse(A_rows):
+        nz = np.asarray(A_rows.getnnz(axis=1) > 0).ravel()
+    else:
+        nz = np.any(A_rows != 0.0, axis=1)
+    nz = nz | (b_rows != 0.0)
     diag = np.array([tri_dim(i + 1) - 1 for i in range(side)], dtype=np.int64)
     nz[diag] = True
     return np.where(nz)[0]

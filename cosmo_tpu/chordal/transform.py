@@ -62,27 +62,33 @@ class ChordalInfo:
     num_overlaps: int
 
 
-def _clique_entries(clique_sorted: List[int]):
-    """All (i, j) with i <= j from the sorted clique vertex list, in svec
-    (column-major upper-triangle) order over the *original* indices —
-    the block row layout (reference: transformations.jl:396-426)."""
-    out = []
-    for jj, j in enumerate(clique_sorted):
-        for ii in range(jj + 1):
-            out.append((clique_sorted[ii], j))
-    return out
+def _block_entry_indices(nb: int):
+    """Local (ii, jj) index arrays of an nb x nb block's upper triangle in
+    svec (column-major) order — the block row layout
+    (reference: transformations.jl:396-426)."""
+    jj = np.repeat(np.arange(nb), np.arange(1, nb + 1))
+    ii = np.arange(tri_dim(nb)) - jj * (jj + 1) // 2
+    return ii, jj
 
 
 def compact_transform(
-    P: np.ndarray,
+    P,
     q: np.ndarray,
-    A: np.ndarray,
+    A,
     b: np.ndarray,
     sets: list,
     patterns: List[SparsityPattern],
 ) -> ChordalInfo:
     """Build the decomposed problem (reference: augment_clique_based!,
-    transformations.jl:152-200)."""
+    transformations.jl:152-200).
+
+    Works for dense numpy and scipy sparse P/A: the transform is expressed
+    as a row-selection operator S (new data rows <- original rows) applied
+    to A and b, plus a sparse overlap block O of (+1, -1) columns:
+    ``A_new = [S A  |  O]``.
+    """
+    import scipy.sparse as sp
+
     m, n = A.shape
     pat_by_cone = {p.cone_index: p for p in patterns}
 
@@ -101,22 +107,21 @@ def compact_transform(
             m_new += cone.dim
     n_new = n + num_overlaps
 
-    A_new = np.zeros((m_new, n_new), dtype=A.dtype)
-    b_new = np.zeros(m_new, dtype=b.dtype)
     row_map = np.zeros(m_new, dtype=np.int64)
+    data_mask = np.zeros(m_new, dtype=bool)   # rows that carry original data
+    ov_child_rows: list = []                  # +1 rows, one per overlap var
+    ov_parent_rows: list = []                 # -1 rows
     sets_new: list = []
 
     row_ptr = 0
-    overlap_col = n
     row_start_orig = 0
     for k, cone in enumerate(sets):
         if k not in pat_by_cone:
             d = cone.dim
-            A_new[row_ptr : row_ptr + d, :n] = A[row_start_orig : row_start_orig + d]
-            b_new[row_ptr : row_ptr + d] = b[row_start_orig : row_start_orig + d]
             row_map[row_ptr : row_ptr + d] = np.arange(
                 row_start_orig, row_start_orig + d
             )
+            data_mask[row_ptr : row_ptr + d] = True
             sets_new.append(cone)
             row_ptr += d
             row_start_orig += d
@@ -138,43 +143,68 @@ def compact_transform(
 
         for pos in range(t.num - 1, -1, -1):
             c = int(t.snd_post[pos])
-            snd_o = {int(ordering[v]) for v in t.snd[c]}
-            sep_o = {int(ordering[v]) for v in t.sep[c]}
-            clique_sorted = sorted(snd_o | sep_o)
+            snd_o = np.sort([int(ordering[v]) for v in t.snd[c]])
+            sep_o = np.sort([int(ordering[v]) for v in t.sep[c]])
+            clique_sorted = np.sort(np.concatenate([snd_o, sep_o])).astype(np.int64)
+            nb = clique_sorted.size
+            in_sep = np.isin(clique_sorted, sep_o)
 
-            par = int(t.snd_par[c])
-            if par >= 0:
-                par_clique = sorted(
-                    {int(ordering[v]) for v in (t.snd[par] | t.sep[par])}
-                )
-                par_pos = {v: i for i, v in enumerate(par_clique)}
-                par_row0 = clique_row_start[par]
-
+            ii, jj = _block_entry_indices(nb)
+            gi = clique_sorted[ii]            # original matrix indices
+            gj = clique_sorted[jj]
+            orig_rows = rs + gj * (gj + 1) // 2 + gi
             base = clique_row_start[c]
-            for counter, (i, j) in enumerate(_clique_entries(clique_sorted)):
-                new_row = base + counter
-                orig_row = rs + tri_index(i, j)
-                row_map[new_row] = orig_row
-                if i in sep_o and j in sep_o:
-                    # overlap entry: +1 here, -1 in the parent clique's row
-                    A_new[new_row, overlap_col] = 1.0
-                    pr = par_row0 + tri_index(par_pos[i], par_pos[j])
-                    A_new[pr, overlap_col] = -1.0
-                    overlap_col += 1
-                else:
-                    A_new[new_row, :n] = A[orig_row]
-                    b_new[new_row] = b[orig_row]
+            new_rows = base + np.arange(orig_rows.size)
+            row_map[new_rows] = orig_rows
+            is_ov = in_sep[ii] & in_sep[jj]
+            data_mask[new_rows] = ~is_ov
 
-            nblk = len(clique_sorted)
-            blk = C.PsdConeTriangle(tri_dim(nblk))
-            sets_new.append(blk)
+            if is_ov.any():
+                par = int(t.snd_par[c])
+                par_clique = np.sort(
+                    [int(ordering[v]) for v in (t.snd[par] | t.sep[par])]
+                )
+                par_row0 = clique_row_start[par]
+                # positions of (gi, gj) inside the sorted parent clique
+                pi = np.searchsorted(par_clique, gi[is_ov])
+                pj = np.searchsorted(par_clique, gj[is_ov])
+                parent_rows = par_row0 + pj * (pj + 1) // 2 + pi
+                ov_child_rows.append(new_rows[is_ov])
+                ov_parent_rows.append(parent_rows)
+
+            sets_new.append(C.PsdConeTriangle(tri_dim(nb)))
 
         row_ptr = rp
         row_start_orig += cone.dim
 
-    P_new = np.zeros((n_new, n_new), dtype=P.dtype)
-    P_new[:n, :n] = P
+    # --- assemble A_new = [S A | O], b_new = S b ---
+    data_rows = np.where(data_mask)[0]
+    S = sp.csr_matrix(
+        (np.ones(data_rows.size, dtype=b.dtype), (data_rows, row_map[data_rows])),
+        shape=(m_new, m),
+    )
+    child = np.concatenate(ov_child_rows) if ov_child_rows else np.zeros(0, np.int64)
+    parent = np.concatenate(ov_parent_rows) if ov_parent_rows else np.zeros(0, np.int64)
+    ov_cols = np.arange(num_overlaps, dtype=np.int64)
+    O = sp.csr_matrix(
+        (
+            np.concatenate([np.ones(num_overlaps), -np.ones(num_overlaps)]).astype(b.dtype),
+            (np.concatenate([child, parent]), np.concatenate([ov_cols, ov_cols])),
+        ),
+        shape=(m_new, num_overlaps),
+    )
+    b_new = S @ b
     q_new = np.concatenate([q, np.zeros(num_overlaps, dtype=q.dtype)])
+
+    if sp.issparse(A) or sp.issparse(P):
+        A_new = sp.hstack([S @ sp.csr_matrix(A), O]).tocsr()
+        P_new = sp.block_diag(
+            [sp.csr_matrix(P), sp.csr_matrix((num_overlaps, num_overlaps), dtype=b.dtype)]
+        ).tocsr()
+    else:
+        A_new = np.concatenate([S @ A, O.toarray()], axis=1)
+        P_new = np.zeros((n_new, n_new), dtype=P.dtype)
+        P_new[:n, :n] = P
 
     return ChordalInfo(
         problem=(P_new, q_new, A_new, b_new, sets_new),

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from .. import results as results_mod
 from .. import solver as solver_mod
 from ..ops import conedata
-from ..settings import Settings, split_settings
+from ..ops import linops
+from ..settings import KKT_CG, KKT_DENSE, Settings, split_settings
 from . import cones as C
 from .constraint import Constraint
 
@@ -135,12 +136,13 @@ class Model:
 
     def set(self, P, q, A, b, sets: Sequence[C.ConvexSet], settings: Optional[Settings] = None):
         """Raw-data entry: problem is already in ``Ax + s = b`` form
-        (reference: interface.jl:218-250)."""
+        (reference: interface.jl:218-250). scipy sparse P/A are kept sparse
+        and solved through the matrix-free CG KKT path."""
         if settings is not None:
             self.settings = settings
-        self.P = _to_dense(P).astype(np.float64)
+        self.P = P if sp.issparse(P) else _to_dense(P).astype(np.float64)
         self.q = np.asarray(q, dtype=np.float64).ravel()
-        self.A = _to_dense(A).astype(np.float64)
+        self.A = A if sp.issparse(A) else _to_dense(A).astype(np.float64)
         self.b = np.asarray(b, dtype=np.float64).ravel()
         m, n = self.A.shape
         if len(self.q) != n or len(self.b) != m or self.P.shape != (n, n):
@@ -244,11 +246,27 @@ class Model:
         m, n = A.shape
 
         t_setup = time.perf_counter()
-        cones = conedata.compile_cones(sets, dtype=dtype, psd_pad_to=settings.psd_pad_to)
+        cones = conedata.compile_cones(
+            sets, dtype=dtype, psd_pad_to=settings.psd_pad_to,
+            eigh_backend=settings.eigh_backend,
+            jacobi_sweeps=settings.jacobi_sweeps,
+        )
+
+        # representation choice: sparse inputs (or huge dense shapes) go
+        # through the COO segment-sum matvec path + matrix-free CG KKT
+        use_sparse = settings.sparse is True or (
+            settings.sparse == "auto" and (sp.issparse(A) or sp.issparse(P))
+        )
+        if use_sparse and settings.kkt_solver == KKT_DENSE:
+            settings = settings.replace(kkt_solver=KKT_CG)
         static, dyn = split_settings(settings, m, n, dtype)
 
-        Pd = jnp.asarray(P, dtype)
-        Ad = jnp.asarray(A, dtype)
+        if use_sparse:
+            Pd = linops.coo_from_scipy(sp.csr_matrix(P), dtype)
+            Ad = linops.coo_from_scipy(sp.csr_matrix(A), dtype)
+        else:
+            Pd = jnp.asarray(_to_dense(P), dtype)
+            Ad = jnp.asarray(_to_dense(A), dtype)
         qd = jnp.asarray(q, dtype)
         bd = jnp.asarray(b, dtype)
 

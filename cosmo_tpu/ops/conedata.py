@@ -92,6 +92,10 @@ class ConeData:
 
     m: int = static_field()
     n_rect_segments: int = static_field()
+    # batched-eig backend for PSD buckets: "xla" (jnp.linalg.eigh) or
+    # "jacobi" (parallel-ordered Jacobi, ops/eigh.py)
+    eigh_backend: str = static_field(default="xla")
+    jacobi_sweeps: int = static_field(default=8)
 
     # elementwise family: rows of ZeroSet (l=u=0), Nonnegatives (l=0,u=inf),
     # Box (user bounds) and 1x1 PSD blocks (l=0,u=inf); +/-inf elsewhere.
@@ -122,7 +126,8 @@ def _tri_index(i: int, j: int) -> int:
 
 
 def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8,
-                  soc_pad_pow2: bool = True) -> ConeData:
+                  soc_pad_pow2: bool = True, eigh_backend: str = "xla",
+                  jacobi_sweeps: int = 8) -> ConeData:
     """Build the batched cone representation from an ordered cone list."""
     m = sum(s.dim for s in sets)
     DUMP = m
@@ -305,6 +310,8 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
     return ConeData(
         m=m,
         n_rect_segments=n_rect,
+        eigh_backend=eigh_backend,
+        jacobi_sweeps=jacobi_sweeps,
         lb=lb,
         ub=ub,
         eq_mask=eq_mask,

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from . import projections
 from .conedata import ConeData
+from .linops import matvec, rmatvec
 
 
 def is_primal_infeasible(dy, P, A, b, cones: ConeData, sm, eps_prim_inf):
@@ -17,7 +18,7 @@ def is_primal_infeasible(dy, P, A, b, cones: ConeData, sm, eps_prim_inf):
     big_enough = norm_dy > eps_prim_inf
 
     safe_norm = jnp.where(big_enough, norm_dy, 1.0)
-    A_dy = sm.Dinv * (A.T @ dy)
+    A_dy = sm.Dinv * rmatvec(A, dy)
     cond_At = jnp.max(jnp.abs(A_dy)) <= eps_prim_inf * norm_dy
 
     dy_unit = dy * (-1.0 / safe_norm)
@@ -35,10 +36,10 @@ def is_dual_infeasible(dx, P, A, q, cones: ConeData, sm, eps_dual_inf):
 
     cond_q = jnp.dot(q, dx) / (safe_norm * sm.c) < -eps_dual_inf
 
-    P_dx = sm.Dinv * (P @ dx)
+    P_dx = sm.Dinv * matvec(P, dx)
     cond_P = jnp.max(jnp.abs(P_dx)) / (safe_norm * sm.c) <= eps_dual_inf
 
-    A_dx = (sm.Einv * (A @ dx)) / safe_norm
+    A_dx = (sm.Einv * matvec(A, dx)) / safe_norm
     cond_K = projections.in_pol_recc(A_dx, cones, eps_dual_inf)
 
     return big_enough & cond_q & cond_P & cond_K

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .linops import diag_AtRhoA, diag_part, matvec, rmatvec
+
 
 class DenseKKTState(NamedTuple):
     L: jnp.ndarray  # [n, n] lower Cholesky factor of M
@@ -52,7 +54,7 @@ def dense_solve(state: DenseKKTState, A, rho_vec, r1, r2):
 # ----------------------------------------------------------------------
 
 def _reduced_matvec(P, A, sigma, rho_vec, v):
-    return P @ v + sigma * v + A.T @ (rho_vec * (A @ v))
+    return matvec(P, v) + sigma * v + rmatvec(A, rho_vec * matvec(A, v))
 
 
 def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, tol, max_iter: int):
@@ -61,8 +63,8 @@ def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, tol, max_iter: int):
     Jacobi preconditioner diag(M); fixed-shape lax.while_loop with early
     exit on the residual norm. Returns (x_tilde, nu, cg_iters).
     """
-    t = r1 + A.T @ (rho_vec * r2)
-    dinv = 1.0 / (jnp.diag(P) + sigma + jnp.sum(rho_vec[:, None] * A * A, axis=0))
+    t = r1 + rmatvec(A, rho_vec * r2)
+    dinv = 1.0 / (diag_part(P) + sigma + diag_AtRhoA(A, rho_vec))
 
     def mv(v):
         return _reduced_matvec(P, A, sigma, rho_vec, v)
@@ -91,7 +93,7 @@ def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, tol, max_iter: int):
         return k + 1, x, r, p, rz_new
 
     k, x, _, _, _ = lax.while_loop(cond, body, (0, x0, r, p, rz))
-    nu = rho_vec * (A @ x - r2)
+    nu = rho_vec * (matvec(A, x) - r2)
     return x, nu, k
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import eigh as eigh_mod
 from . import exp_pow
 from .conedata import ConeData, PsdBucket, SocBucket
 
@@ -49,9 +50,11 @@ def _psd_gather(v_ext, bucket: PsdBucket):
     return X
 
 
-def _psd_project_bucket(X):
-    """Batched PSD projection: eigh + positive-part reconstruction
+def _psd_project_bucket(X, cones: ConeData):
+    """Batched PSD projection: eig + positive-part reconstruction
     (reference: convexset.jl:219-263). [B, k, k] -> [B, k, k]."""
+    if cones.eigh_backend == "jacobi":
+        return eigh_mod.psd_project_jacobi(X, cones.jacobi_sweeps)
     w, V = jnp.linalg.eigh(X)
     wp = jnp.maximum(w, 0.0)
     # X_+ = V diag(w_+) V^T ; keep it as one einsum so XLA fuses the scaling
@@ -73,7 +76,7 @@ def project(w2, cones: ConeData):
 
     for bucket in cones.psd_buckets:
         X = _psd_gather(v_ext, bucket)
-        Y = _psd_project_bucket(X)
+        Y = _psd_project_bucket(X, cones)
         s = _ext(s).at[bucket.scatter_idx].set(Y * bucket.scatter_scale)[:-1]
 
     if cones.exp.idx.shape[0] > 0:
@@ -93,8 +96,10 @@ def project(w2, cones: ConeData):
 # Membership tests (used by the infeasibility certificates)
 # ----------------------------------------------------------------------
 
-def _psd_min_eigs(v_ext, bucket: PsdBucket):
+def _psd_min_eigs(v_ext, bucket: PsdBucket, cones: ConeData):
     X = _psd_gather(v_ext, bucket)
+    if cones.eigh_backend == "jacobi":
+        return eigh_mod.min_max_eig_jacobi(X, cones.jacobi_sweeps)
     w = jnp.linalg.eigvalsh(X)
     return w[:, 0], w[:, -1]  # (min, max) per block
 
@@ -126,7 +131,7 @@ def in_pol_recc(v, cones: ConeData, tol):
         ok &= jnp.all(nx <= tol - X[:, 0])
 
     for bucket in cones.psd_buckets:
-        _, mx = _psd_min_eigs(v_ext, bucket)
+        _, mx = _psd_min_eigs(v_ext, bucket, cones)
         ok &= jnp.all(mx <= tol)
 
     if cones.exp.idx.shape[0] > 0:
@@ -171,7 +176,7 @@ def support_function(y, cones: ConeData, tol):
         ok &= jnp.all(nx <= tol + X[:, 0])
 
     for bucket in cones.psd_buckets:
-        mn, _ = _psd_min_eigs(-v_ext, bucket)
+        mn, _ = _psd_min_eigs(-v_ext, bucket, cones)
         ok &= jnp.all(mn >= -tol)
 
     if cones.exp.idx.shape[0] > 0:

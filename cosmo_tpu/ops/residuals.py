@@ -10,6 +10,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from .linops import matvec, rmatvec
+
 
 class ResInfo(NamedTuple):
     r_prim: jnp.ndarray
@@ -25,8 +27,8 @@ def _inf(v):
 def calculate_residuals(P, A, q, b, x, s, mu, sm, ignore_scaling: bool = False):
     """||E^-1 (Ax + s - b)||_inf and ||c^-1 D^-1 (Px + q - A'mu)||_inf
     (reference: residuals.jl:30-53)."""
-    r_prim = A @ x + s - b
-    r_dual = P @ x + q - A.T @ mu
+    r_prim = matvec(A, x) + s - b
+    r_dual = matvec(P, x) + q - rmatvec(A, mu)
     if not ignore_scaling:
         r_prim = sm.Einv * r_prim
         r_dual = sm.cinv * (sm.Dinv * r_dual)
@@ -41,10 +43,10 @@ def max_res_component_norm(P, A, q, b, x, s, mu, sm, ignore_scaling: bool = Fals
         ci = 1.0
     else:
         e, d, ci = sm.Einv, sm.Dinv, sm.cinv
-    mp = jnp.maximum(_inf(e * (A @ x)), jnp.maximum(_inf(e * s), _inf(e * b)))
+    mp = jnp.maximum(_inf(e * matvec(A, x)), jnp.maximum(_inf(e * s), _inf(e * b)))
     md = jnp.maximum(
-        _inf(ci * (d * (P @ x))),
-        jnp.maximum(_inf(ci * (d * q)), _inf(ci * (d * (A.T @ mu)))),
+        _inf(ci * (d * matvec(P, x))),
+        jnp.maximum(_inf(ci * (d * q)), _inf(ci * (d * rmatvec(A, mu)))),
     )
     return mp, md
 
@@ -64,4 +66,4 @@ def has_converged(info: ResInfo, eps_abs, eps_rel):
 
 def calculate_cost(P, q, x, cinv):
     """cost = cinv (0.5 x'Px + q'x) on scaled data (residuals.jl:143-147)."""
-    return cinv * (0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x))
+    return cinv * (0.5 * jnp.dot(x, matvec(P, x)) + jnp.dot(q, x))

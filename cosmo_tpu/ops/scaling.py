@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import linops
 from .conedata import ConeData
 
 
@@ -53,27 +54,27 @@ def ruiz_scale(P, A, q, b, cones: ConeData, iters: int, dyn):
     def body(_, carry):
         P, A, q, b, D, E, c = carry
         # KKT column norms (reference: scaling.jl:3-8)
-        d_norm = jnp.maximum(jnp.max(jnp.abs(P), axis=0), jnp.max(jnp.abs(A), axis=0))
-        e_norm = jnp.max(jnp.abs(A), axis=1)
+        d_norm = jnp.maximum(linops.colmax_abs(P), linops.colmax_abs(A))
+        e_norm = linops.rowmax_abs(A)
         dw = 1.0 / jnp.sqrt(_limit_scaling(d_norm, dyn))
         ew = 1.0 / jnp.sqrt(_limit_scaling(e_norm, dyn))
 
-        P = dw[:, None] * P * dw[None, :]
-        A = ew[:, None] * A * dw[None, :]
+        P = linops.scale_rows_cols(P, dw, dw)
+        A = linops.scale_rows_cols(A, ew, dw)
         q = dw * q
         b = ew * b
         D = D * dw
         E = E * ew
 
         # cost scaling (reference: scaling.jl:66-83)
-        mean_col_norm_P = jnp.mean(jnp.max(jnp.abs(P), axis=0))
+        mean_col_norm_P = jnp.mean(linops.colmax_abs(P))
         inf_norm_q = jnp.max(jnp.abs(q)) if n > 0 else jnp.zeros((), dtype)
         do_cost = (mean_col_norm_P != 0.0) & (inf_norm_q != 0.0)
         scale_cost = _limit_scaling(
             jnp.maximum(_limit_scaling(inf_norm_q, dyn), mean_col_norm_P), dyn
         )
         ctmp = jnp.where(do_cost, 1.0 / scale_cost, 1.0)
-        P = P * ctmp
+        P = linops.scale_all(P, ctmp)
         q = q * ctmp
         c = c * ctmp
         return P, A, q, b, D, E, c
@@ -90,12 +91,12 @@ def ruiz_scale(P, A, q, b, cones: ConeData, iters: int, dyn):
                                       cones.rect_seg, num_segments=nseg)
         seg_mean = seg_sum / jnp.maximum(seg_cnt, 1.0)
         ework = jnp.where(cones.rect_mask, seg_mean[cones.rect_seg] / E, 1.0)
-        A = ework[:, None] * A
+        A = linops.scale_rows(A, ework)
         b = ework * b
         E = E * ework
 
     # symmetrize P (reference: scaling.jl:99)
-    P = 0.5 * (P + P.T)
+    P = linops.symmetrize(P)
 
     # scale the set bounds (Box rows; 0 and +/-inf rows are invariant)
     lb = cones.lb * E

@@ -86,7 +86,7 @@ def smat(v: np.ndarray) -> np.ndarray:
 
 
 def maxcut(n_nodes: int = 100, density: float = 0.1, seed: int = 0,
-           dtype=np.float64):
+           dtype=np.float64, sparse: bool = False):
     """The maxcut SDP relaxation on a random weighted graph, in the
     *standard dual form* that exposes the aggregate sparsity pattern to
     chordal decomposition (BASELINE.md north-star workload):
@@ -104,7 +104,7 @@ def maxcut(n_nodes: int = 100, density: float = 0.1, seed: int = 0,
     W = W * rng.random((n_nodes, n_nodes)).astype(dtype)
     W = W + W.T
     Lap = np.diag(W.sum(1)) - W
-    return _dual_form_sdp(Lap, dtype) + (Lap,)
+    return _dual_form_sdp(Lap, dtype, sparse=sparse) + (Lap,)
 
 
 def closest_correlation(n: int = 20, seed: int = 0, dtype=np.float64):
@@ -139,7 +139,7 @@ def closest_correlation(n: int = 20, seed: int = 0, dtype=np.float64):
 
 
 def banded_sdp(n_nodes: int = 200, bandwidth: int = 8, seed: int = 0,
-               dtype=np.float64):
+               dtype=np.float64, sparse: bool = False):
     """A banded-sparsity dual-form SDP — the canonical chordal-decomposition
     showcase (reference docs/src/decomposition.md): the aggregate sparsity
     graph is banded and decomposes into ~n_nodes cliques of size
@@ -151,20 +151,32 @@ def banded_sdp(n_nodes: int = 200, bandwidth: int = 8, seed: int = 0,
         v = rng.random(n_nodes - k).astype(dtype)
         Wb += np.diag(v, k) + np.diag(v, -k)
     Lap = np.diag(Wb.sum(1)) - Wb
-    return _dual_form_sdp(Lap, dtype) + (Lap,)
+    return _dual_form_sdp(Lap, dtype, sparse=sparse) + (Lap,)
 
 
-def _dual_form_sdp(Lap: np.ndarray, dtype):
+def _dual_form_sdp(Lap: np.ndarray, dtype, sparse: bool = False):
     """min 1'y s.t. diag(y) - Lap/4 in PSD, in internal ``Ay + s = b`` form:
     A[:, i] = -svec(E_ii), b = -svec(Lap)/4."""
     n_nodes = Lap.shape[0]
     nvar = n_nodes
     m = tri_dim(n_nodes)
-    P = np.zeros((nvar, nvar), dtype=dtype)
     q = np.ones(nvar, dtype=dtype)
-    A = np.zeros((m, nvar), dtype=dtype)
-    for i in range(n_nodes):
-        A[tri_dim(i + 1) - 1, i] = -1.0
-    b = -svec(Lap.astype(dtype)) / 4.0
+    diag_rows = np.array([tri_dim(i + 1) - 1 for i in range(n_nodes)])
+    if sparse:
+        import scipy.sparse as sp
+
+        P = sp.csr_matrix((nvar, nvar), dtype=dtype)
+        A = sp.csr_matrix(
+            (-np.ones(n_nodes, dtype=dtype), (diag_rows, np.arange(n_nodes))),
+            shape=(m, nvar),
+        )
+        i, j = _tri_rows_cols(n_nodes)
+        scale = np.where(i == j, 1.0, np.sqrt(2.0)).astype(dtype)
+        b = -(np.asarray(Lap[i, j]).ravel() * scale) / 4.0
+    else:
+        P = np.zeros((nvar, nvar), dtype=dtype)
+        A = np.zeros((m, nvar), dtype=dtype)
+        A[diag_rows, np.arange(n_nodes)] = -1.0
+        b = -svec(Lap.astype(dtype)) / 4.0
     sets = [C.PsdConeTriangle(m)]
     return P, q, A, b, sets

@@ -82,15 +82,25 @@ class Settings:
     accelerator_activation_accuracy: float = 1e-4
     safeguard: bool = True
     safeguard_tol: float = 2.0
-    # KKT indirect-solver controls (reference: kktsolver_indirect.jl:168-170)
-    kkt_cg_tol_constant: float = 1.0
+    # KKT indirect-solver controls (reference: kktsolver_indirect.jl:168-170;
+    # default constant tightened 1.0 -> 1e-2: with safeguarded Anderson
+    # acceleration the looser schedule stalls the outer ADMM iteration)
+    kkt_cg_tol_constant: float = 1e-2
     kkt_cg_tol_exponent: float = 1.5
     kkt_cg_max_iter: int = 250
     # --- TPU-specific knobs (no reference equivalent) ---
+    # Problem-matrix representation: "auto" keeps scipy-sparse inputs sparse
+    # (COO segment-sum matvecs + matrix-free CG KKT); True forces sparse;
+    # False densifies everything.
+    sparse: Any = "auto"
     # Pad PSD blocks up to a multiple of this size when bucketing, to reduce
     # the number of distinct batched-eigh shapes (zero-padding is exact for
     # PSD projection).
     psd_pad_to: int = 8
+    # Batched-eig backend for the PSD projection: "xla" or "jacobi"
+    # (parallel-ordered Jacobi; batched matmuls on the MXU).
+    eigh_backend: str = "xla"
+    jacobi_sweeps: int = 8
     # Use float64 where available (CPU); float32 otherwise.
     dtype: Any = None
     # Matmul precision for the solve. On TPU, float32 matmuls default to
