@@ -46,6 +46,7 @@ from .models.constraint import Constraint  # noqa: E402
 from .models.model import Model, assemble, optimize  # noqa: E402
 from .results import Result, ResultInfo, ResultTimes  # noqa: E402
 from .settings import Settings  # noqa: E402
+from .utils.printing import print_clique_sizes, print_merge_logs  # noqa: E402
 
 __version__ = "0.1.0"
 
@@ -58,6 +59,8 @@ __all__ = [
     "ResultTimes",
     "assemble",
     "optimize",
+    "print_merge_logs",
+    "print_clique_sizes",
     "enable_x64",
     "ZeroSet",
     "Nonnegatives",

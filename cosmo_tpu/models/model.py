@@ -240,6 +240,7 @@ class Model:
             if chordal_info is not None:
                 P, q, A, b, sets = chordal_info.problem
                 self.is_decomposed = True
+                self._chordal_info = chordal_info
         times.graph_time = time.perf_counter() - t_graph
 
         dtype = _default_dtype(settings)
@@ -280,6 +281,11 @@ class Model:
         s0d = jnp.asarray(s0, dtype)
         mu0d = jnp.asarray(mu0, dtype)
         times.setup_time = time.perf_counter() - t_setup
+
+        if settings.verbose:
+            from ..utils import printing
+
+            printing.print_header(self, m, n, sets=sets, chordal_info=chordal_info)
 
         t_iter = time.perf_counter()
         with jax.default_matmul_precision(settings.matmul_precision):

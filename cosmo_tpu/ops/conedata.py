@@ -190,9 +190,26 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             rect_seg[rows] = n_rect
             n_rect += 1
         elif isinstance(cone, C.PsdConeTriangleComplex):
-            raise NotImplementedError(
-                "Complex Hermitian PSD cones are not implemented yet in the device path."
-            )
+            r = cone.side
+            if r <= 1:
+                # 1x1 Hermitian block: single real diagonal entry >= 0
+                lb[rows] = 0.0
+                nonneg_mask[rows] = True
+            else:
+                # real 2r x 2r embedding M = [[A, -B], [B, A]] of H = A + iB;
+                # M is symmetric with the eigenvalues of H doubled, so the
+                # real batched projection applies unchanged (reference
+                # complex path: convexset.jl:344-360, :446-490 uses zheevr)
+                two_r = 2 * r
+                k = (
+                    max(psd_pad_to, -(-two_r // psd_pad_to) * psd_pad_to)
+                    if psd_pad_to > 1
+                    else two_r
+                )
+                psd_groups.setdefault((k, "complex"), []).append((offset, r))
+            rect_mask[rows] = True
+            rect_seg[rows] = n_rect
+            n_rect += 1
         elif isinstance(cone, C.ExponentialCone):
             exp_rows.append((offset, False))
             rect_mask[rows] = True
@@ -246,14 +263,44 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
 
     # --- PSD buckets ---
     psd_bucket_objs = []
-    for (k, symmetrize), blocks in sorted(psd_groups.items()):
+    for (k, kind), blocks in sorted(
+        psd_groups.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
+    ):
+        symmetrize = kind is True
         B = len(blocks)
         g_idx = np.full((B, k, k), DUMP, dtype=np.int32)
         g_scl = np.zeros((B, k, k), dtype=dtype)
         s_idx = np.full((B, k, k), DUMP, dtype=np.int32)
         s_scl = np.zeros((B, k, k), dtype=dtype)
         for b, (o, r) in enumerate(blocks):
-            if symmetrize:
+            if kind == "complex":
+                # H = A + iB packed as [svec(A); sqrt(2) * strict-upper(B)]
+                # (reference: convexset.jl:446-490). Real embedding:
+                # M[:r,:r] = M[r:,r:] = A; M[r:,:r] = B; M[:r,r:] = -B.
+                isq = 1.0 / SQRT2
+                for j in range(r):
+                    for i in range(j + 1):
+                        t = o + _tri_index(i, j)
+                        scl = 1.0 if i == j else isq
+                        for (ii, jj) in ((i, j), (j, i), (r + i, r + j), (r + j, r + i)):
+                            g_idx[b, ii, jj] = t
+                            g_scl[b, ii, jj] = scl
+                        # scatter real parts from the top-left block
+                        s_idx[b, i, j] = t
+                        s_scl[b, i, j] = 1.0 if i == j else SQRT2
+                for j in range(r):
+                    for i in range(j):
+                        t = o + r * (r + 1) // 2 + j * (j - 1) // 2 + i
+                        for (ii, jj, sgn) in (
+                            (r + i, j, 1.0), (r + j, i, -1.0),
+                            (i, r + j, -1.0), (j, r + i, 1.0),
+                        ):
+                            g_idx[b, ii, jj] = t
+                            g_scl[b, ii, jj] = sgn * isq
+                        # scatter imag parts from the bottom-left block
+                        s_idx[b, r + i, j] = t
+                        s_scl[b, r + i, j] = SQRT2
+            elif symmetrize:
                 # square, column-stacked storage: vec index of (i,j) = o + j*r + i
                 for j in range(r):
                     for i in range(r):

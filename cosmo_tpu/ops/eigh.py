@@ -77,27 +77,69 @@ def _apply_round(X, V, p, q):
     JX = jnp.einsum("bji,bjk->bik", J, X)      # J' X
     X = jnp.einsum("bik,bkl->bil", JX, J)      # (J' X) J
     V = jnp.einsum("bik,bkl->bil", V, J)
-    # enforce symmetry against rounding drift
-    X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
     return X, V
 
 
-def jacobi_eigh(X, sweeps: int = 8):
+def _apply_round_vec(X, V, p, q):
+    """Same parallel Jacobi round as :func:`_apply_round`, but applied as
+    O(k^2) row/column updates (VPU gathers/scatters with static indices)
+    instead of O(k^3) matmuls — wins when k is far below the 128-lane MXU
+    tile so batched matmuls would run at a few percent utilization."""
+    dtype = X.dtype
+    app = X[:, p, p]
+    aqq = X[:, q, q]
+    apq = X[:, p, q]
+
+    small = jnp.abs(apq) <= jnp.asarray(np.finfo(np.dtype(dtype)).tiny * 16, dtype)
+    safe_apq = jnp.where(small, 1.0, apq)
+    tau = (aqq - app) / (2.0 * safe_apq)
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(tau == 0.0, 1.0, t)
+    c = 1.0 / jnp.sqrt(1.0 + t * t)
+    s = t * c
+    c = jnp.where(small, 1.0, c)
+    s = jnp.where(small, 0.0, s)
+
+    cc = c[:, :, None]
+    ss = s[:, :, None]
+    # rows: X <- J' X
+    Xp = X[:, p, :]
+    Xq = X[:, q, :]
+    X = X.at[:, p, :].set(cc * Xp - ss * Xq)
+    X = X.at[:, q, :].set(ss * Xp + cc * Xq)
+    # cols: X <- X J
+    Xp = X[:, :, p]
+    Xq = X[:, :, q]
+    X = X.at[:, :, p].set(cc.swapaxes(1, 2) * Xp - ss.swapaxes(1, 2) * Xq)
+    X = X.at[:, :, q].set(ss.swapaxes(1, 2) * Xp + cc.swapaxes(1, 2) * Xq)
+    # eigenvectors: V <- V J (column update)
+    Vp = V[:, :, p]
+    Vq = V[:, :, q]
+    V = V.at[:, :, p].set(cc.swapaxes(1, 2) * Vp - ss.swapaxes(1, 2) * Vq)
+    V = V.at[:, :, q].set(ss.swapaxes(1, 2) * Vp + cc.swapaxes(1, 2) * Vq)
+    return X, V
+
+
+def jacobi_eigh(X, sweeps: int = 8, method: str = "vec"):
     """Eigendecomposition of a stack of symmetric matrices [B, k, k].
 
     Returns (w, V) with w unsorted; X = V diag(w) V' up to rounding.
-    k must be even (PSD buckets are padded to a multiple of 8)."""
+    k must be even (PSD buckets are padded to a multiple of 8).
+    ``method``: "vec" (row/col VPU updates) or "mm" (packed-rotation
+    batched matmuls)."""
     B, k, _ = X.shape
     if k % 2 != 0:
         w, V = jnp.linalg.eigh(X)
         return w, V
     rounds = _round_robin_rounds(k)
     V0 = jnp.broadcast_to(jnp.eye(k, dtype=X.dtype), (B, k, k))
+    apply = _apply_round_vec if method == "vec" else _apply_round
 
     def one_sweep(_, carry):
         X, V = carry
         for p, q in rounds:
-            X, V = _apply_round(X, V, jnp.asarray(p), jnp.asarray(q))
+            X, V = apply(X, V, jnp.asarray(p), jnp.asarray(q))
+        X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
         return X, V
 
     X, V = lax.fori_loop(0, sweeps, one_sweep, (X, V0))
@@ -105,14 +147,14 @@ def jacobi_eigh(X, sweeps: int = 8):
     return w, V
 
 
-def psd_project_jacobi(X, sweeps: int = 8):
+def psd_project_jacobi(X, sweeps: int = 8, method: str = "vec"):
     """PSD projection via Jacobi: V max(w, 0) V'."""
-    w, V = jacobi_eigh(X, sweeps)
+    w, V = jacobi_eigh(X, sweeps, method)
     wp = jnp.maximum(w, 0.0)
     return jnp.einsum("bik,bk,bjk->bij", V, wp, V)
 
 
-def min_max_eig_jacobi(X, sweeps: int = 8):
+def min_max_eig_jacobi(X, sweeps: int = 8, method: str = "vec"):
     """(min, max) eigenvalue per block via Jacobi (for membership tests)."""
-    w, _ = jacobi_eigh(X, sweeps)
+    w, _ = jacobi_eigh(X, sweeps, method)
     return jnp.min(w, axis=-1), jnp.max(w, axis=-1)

@@ -53,8 +53,9 @@ def _psd_gather(v_ext, bucket: PsdBucket):
 def _psd_project_bucket(X, cones: ConeData):
     """Batched PSD projection: eig + positive-part reconstruction
     (reference: convexset.jl:219-263). [B, k, k] -> [B, k, k]."""
-    if cones.eigh_backend == "jacobi":
-        return eigh_mod.psd_project_jacobi(X, cones.jacobi_sweeps)
+    if cones.eigh_backend.startswith("jacobi"):
+        method = "mm" if cones.eigh_backend == "jacobi_mm" else "vec"
+        return eigh_mod.psd_project_jacobi(X, cones.jacobi_sweeps, method)
     w, V = jnp.linalg.eigh(X)
     wp = jnp.maximum(w, 0.0)
     # X_+ = V diag(w_+) V^T ; keep it as one einsum so XLA fuses the scaling
@@ -98,8 +99,9 @@ def project(w2, cones: ConeData):
 
 def _psd_min_eigs(v_ext, bucket: PsdBucket, cones: ConeData):
     X = _psd_gather(v_ext, bucket)
-    if cones.eigh_backend == "jacobi":
-        return eigh_mod.min_max_eig_jacobi(X, cones.jacobi_sweeps)
+    if cones.eigh_backend.startswith("jacobi"):
+        method = "mm" if cones.eigh_backend == "jacobi_mm" else "vec"
+        return eigh_mod.min_max_eig_jacobi(X, cones.jacobi_sweeps, method)
     w = jnp.linalg.eigvalsh(X)
     return w[:, 0], w[:, -1]  # (min, max) per block
 

@@ -143,6 +143,7 @@ class StaticConfig(NamedTuple):
     accel_activation: str
     safeguard: bool
     check_obj_true: bool
+    verbose: bool
     m: int
     n: int
 
@@ -191,6 +192,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
         accel_activation=settings.accelerator_activation,
         safeguard=bool(settings.safeguard),
         check_obj_true=not np.isnan(settings.obj_true),
+        verbose=bool(settings.verbose),
         m=int(m),
         n=int(n),
     )

@@ -252,6 +252,11 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         )
 
         c = c._replace(cost=cost, res=info, status=status)
+        if static.verbose:
+            jax.debug.print(
+                "{it}\t{cost}\t{rp}\t{rd}\t{rho}",
+                it=c.iter, cost=cost, rp=info.r_prim, rd=info.r_dual, rho=c.rho,
+            )
         # AccuracyActivation (reference: accelerator_interface.jl:38-46)
         if static.accel_mem > 0 and static.accel_activation == "accuracy":
             tol = dyn.accel_activation_accuracy
