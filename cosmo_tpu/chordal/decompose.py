@@ -29,13 +29,14 @@ from .transform import (
     SparsityPattern,
     compact_transform,
     reverse_transform,
+    standard_transform,
     tri_dim,
 )
 
 
-def _aggregate_sparsity(A_rows, b_rows: np.ndarray, side: int):
-    """Nonzero svec indices of the cone's rows in A and b, with the diagonal
-    always included (reference: chordal_decomposition.jl:100-115)."""
+def _aggregate_sparsity(A_rows, b_rows: np.ndarray, side: int, square: bool = False):
+    """Nonzero storage indices of the cone's rows in A and b, with the
+    diagonal always included (reference: chordal_decomposition.jl:100-115)."""
     import scipy.sparse as sp
 
     if sp.issparse(A_rows):
@@ -43,20 +44,28 @@ def _aggregate_sparsity(A_rows, b_rows: np.ndarray, side: int):
     else:
         nz = np.any(A_rows != 0.0, axis=1)
     nz = nz | (b_rows != 0.0)
-    diag = np.array([tri_dim(i + 1) - 1 for i in range(side)], dtype=np.int64)
+    if square:
+        diag = np.arange(side) * side + np.arange(side)
+    else:
+        diag = np.array([tri_dim(i + 1) - 1 for i in range(side)], dtype=np.int64)
     nz[diag] = True
     return np.where(nz)[0]
 
 
-def _adjacency_from_svec(nz: np.ndarray, side: int) -> List[set]:
-    """Graph on the matrix vertices from the nonzero svec entries."""
+def _adjacency_from_svec(nz: np.ndarray, side: int, square: bool = False) -> List[set]:
+    """Graph on the matrix vertices from the nonzero storage entries."""
     adj: List[set] = [set() for _ in range(side)]
-    # svec index k -> (i, j): j is the triangle column
-    j = ((np.sqrt(8.0 * nz + 1.0) - 1.0) / 2.0).astype(np.int64)
-    # guard float rounding at triangle boundaries
-    j = np.where(j * (j + 1) // 2 > nz, j - 1, j)
-    j = np.where((j + 1) * (j + 2) // 2 <= nz, j + 1, j)
-    i = nz - j * (j + 1) // 2
+    if square:
+        # column-stacked square storage: index = j * side + i
+        j = nz // side
+        i = nz % side
+    else:
+        # svec index k -> (i, j): j is the triangle column
+        j = ((np.sqrt(8.0 * nz + 1.0) - 1.0) / 2.0).astype(np.int64)
+        # guard float rounding at triangle boundaries
+        j = np.where(j * (j + 1) // 2 > nz, j - 1, j)
+        j = np.where((j + 1) * (j + 2) // 2 <= nz, j + 1, j)
+        i = nz - j * (j + 1) // 2
     for ii, jj in zip(i, j):
         if ii != jj:
             adj[int(ii)].add(int(jj))
@@ -65,14 +74,15 @@ def _adjacency_from_svec(nz: np.ndarray, side: int) -> List[set]:
 
 
 def analyse_cone(
-    A_rows: np.ndarray, b_rows: np.ndarray, side: int, merge_strategy: str
+    A_rows, b_rows: np.ndarray, side: int, merge_strategy: str,
+    square: bool = False,
 ):
-    """Sparsity analysis + clique tree + merging for one PSD triangle cone.
+    """Sparsity analysis + clique tree + merging for one PSD cone.
     Returns (tree, ordering) or None if the cone is effectively dense."""
-    nz = _aggregate_sparsity(A_rows, b_rows, side)
-    if nz.size >= tri_dim(side):
+    nz = _aggregate_sparsity(A_rows, b_rows, side, square=square)
+    if nz.size >= (side * side if square else tri_dim(side)):
         return None
-    adj = _adjacency_from_svec(nz, side)
+    adj = _adjacency_from_svec(nz, side, square=square)
     cols, perm = graph_mod.chordal_extension(adj)
     t = trees.build_clique_tree(cols, graph_mode=(merge_strategy == "clique_graph"))
     merging.merge_cliques(t, merge_strategy)
@@ -85,18 +95,26 @@ def analyse_cone(
 def decompose(P, q, A, b, sets, settings) -> Optional[ChordalInfo]:
     """Analyse all decomposable PSD cones and build the compact decomposed
     problem. Returns None when nothing decomposes."""
+    compact = bool(getattr(settings, "compact_transformation", True))
     patterns: List[SparsityPattern] = []
     row = 0
     for k, cone in enumerate(sets):
         d = cone.dim
-        if (
-            isinstance(cone, C.PsdConeTriangle)
-            and getattr(cone, "decomposable", False)
-            and not isinstance(cone, C.DensePsdConeTriangle)
-        ):
+        is_tri = isinstance(cone, C.PsdConeTriangle) and not isinstance(
+            cone, C.DensePsdConeTriangle
+        )
+        # the compact transformation handles triangle cones only (matching
+        # the reference, transformations.jl:267-316); the standard (Agler)
+        # transformation also decomposes square PsdCones
+        is_sq = (
+            not compact
+            and isinstance(cone, C.PsdCone)
+            and not isinstance(cone, C.DensePsdCone)
+        )
+        if (is_tri or is_sq) and getattr(cone, "decomposable", False):
             res = analyse_cone(
                 A[row : row + d], b[row : row + d], cone.side,
-                settings.merge_strategy,
+                settings.merge_strategy, square=is_sq,
             )
             if res is not None:
                 t, ordering = res
@@ -110,7 +128,9 @@ def decompose(P, q, A, b, sets, settings) -> Optional[ChordalInfo]:
 
     if not patterns:
         return None
-    return compact_transform(P, q, A, b, sets, patterns)
+    if compact:
+        return compact_transform(P, q, A, b, sets, patterns)
+    return standard_transform(P, q, A, b, sets, patterns)
 
 
 def reverse(chordal_info: ChordalInfo, x, y, s, settings):

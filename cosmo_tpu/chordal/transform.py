@@ -60,6 +60,8 @@ class ChordalInfo:
     patterns: List[SparsityPattern]
     row_map: np.ndarray     # [m_new] -> original row index (total map)
     num_overlaps: int
+    mode: str = "compact"   # "compact" | "standard"
+    H: object = None        # standard mode: scipy selector matrix [m_orig, nH]
 
 
 def _block_entry_indices(nb: int):
@@ -217,6 +219,104 @@ def compact_transform(
     )
 
 
+def standard_transform(
+    P,
+    q: np.ndarray,
+    A,
+    b: np.ndarray,
+    sets: list,
+    patterns: List[SparsityPattern],
+) -> ChordalInfo:
+    """The "standard" (Agler-form) decomposition (reference:
+    find_decomposition_matrix!/augment_system!, transformations.jl:5-138):
+
+        A_new = [[A, H], [0, -I]],  b_new = [b; 0]
+
+    with a selector matrix H mapping stacked block entries back into the
+    original cone rows. The first m rows become one ZeroSet; the new rows
+    carry all cones (non-decomposed cones via identity columns of H,
+    decomposed PSD cones as one block per clique). Supports both triangle
+    (svec) and square (vec) PSD storage.
+    """
+    import scipy.sparse as sp
+
+    m, n = A.shape
+    pat_by_cone = {p.cone_index: p for p in patterns}
+
+    H_rows: list = []      # original row of each H column, in column order
+    sets_new: list = [C.ZeroSet(m)]
+    row_start_orig = 0
+    for k, cone in enumerate(sets):
+        d = cone.dim
+        if k not in pat_by_cone:
+            H_rows.append(np.arange(row_start_orig, row_start_orig + d))
+            sets_new.append(cone)
+            row_start_orig += d
+            continue
+        pat = pat_by_cone[k]
+        t = pat.tree
+        ordering = pat.ordering
+        square = isinstance(cone, C.PsdCone)
+        r0 = row_start_orig
+        side = pat.side
+        # cliques in ascending post order (reference decompose!,
+        # transformations.jl:62-82 iterates iii = 1:num_cliques)
+        for pos in range(t.num):
+            c = int(t.snd_post[pos])
+            cl = np.sort(
+                [int(ordering[v]) for v in (t.snd[c] | t.sep[c])]
+            ).astype(np.int64)
+            nb = cl.size
+            if square:
+                # column-stacked square storage: vec index = j * side + i
+                jj, ii = np.meshgrid(np.arange(nb), np.arange(nb), indexing="ij")
+                gi = cl[ii.ravel()]
+                gj = cl[jj.ravel()]
+                rows = r0 + gj * side + gi
+                sets_new.append(C.PsdCone(nb * nb))
+            else:
+                ii, jj = _block_entry_indices(nb)
+                gi = cl[ii]
+                gj = cl[jj]
+                rows = r0 + gj * (gj + 1) // 2 + gi
+                sets_new.append(C.PsdConeTriangle(tri_dim(nb)))
+            H_rows.append(rows)
+        row_start_orig += d
+
+    h_rows = np.concatenate(H_rows)
+    nH = h_rows.size
+    H = sp.csr_matrix(
+        (np.ones(nH, dtype=b.dtype), (h_rows, np.arange(nH))), shape=(m, nH)
+    )
+
+    A_sp = sp.csr_matrix(A)
+    A_new = sp.bmat(
+        [[A_sp, H], [None, -sp.identity(nH, dtype=b.dtype, format="csr")]],
+        format="csr",
+    )
+    b_new = np.concatenate([b, np.zeros(nH, dtype=b.dtype)])
+    P_new = sp.block_diag(
+        [sp.csr_matrix(P), sp.csr_matrix((nH, nH), dtype=b.dtype)], format="csr"
+    )
+    q_new = np.concatenate([q, np.zeros(nH, dtype=q.dtype)])
+    if not sp.issparse(A):
+        A_new = A_new.toarray()
+        P_new = P_new.toarray()
+
+    row_map = np.concatenate([np.arange(m, dtype=np.int64), h_rows])
+    return ChordalInfo(
+        problem=(P_new, q_new, A_new, b_new, sets_new),
+        m_orig=m,
+        n_orig=n,
+        sets_orig=list(sets),
+        patterns=patterns,
+        row_map=row_map,
+        num_overlaps=nH,
+        mode="standard",
+        H=H,
+    )
+
+
 def reverse_transform(
     info: ChordalInfo,
     x: np.ndarray,
@@ -236,36 +336,48 @@ def reverse_transform(
     s_o = np.zeros(info.m_orig, dtype=s.dtype)
     mu_o = np.zeros(info.m_orig, dtype=y.dtype)
 
-    np.add.at(s_o, info.row_map, s)
-    # overwrite semantics with "last write wins" (reference add_blocks! order)
-    rev = info.row_map[::-1]
-    _, first_of_rev = np.unique(rev, return_index=True)
-    last_idx = len(info.row_map) - 1 - first_of_rev
-    mu_o[info.row_map[last_idx]] = mu[last_idx]
+    if info.mode == "standard":
+        # s = H s_blocks; mu = H mu_blocks averaged over overlap counts
+        # (reference: fill_dual_variables!, chordal_decomposition.jl:153-168)
+        s_o[:] = info.H @ s[info.m_orig :]
+        counts = np.asarray(info.H.sum(axis=1)).ravel()
+        mu_o[:] = info.H @ mu[info.m_orig :] / np.maximum(counts, 1.0)
+    else:
+        np.add.at(s_o, info.row_map, s)
+        # overwrite semantics, "last write wins" (reference add_blocks! order)
+        rev = info.row_map[::-1]
+        _, first_of_rev = np.unique(rev, return_index=True)
+        last_idx = len(info.row_map) - 1 - first_of_rev
+        mu_o[info.row_map[last_idx]] = mu[last_idx]
 
     if complete_dual:
         for pat in info.patterns:
-            _psd_complete_pattern(mu_o, pat)
+            square = isinstance(info.sets_orig[pat.cone_index], C.PsdCone)
+            _psd_complete_pattern(mu_o, pat, square=square)
 
     return x_o, -mu_o, s_o
 
 
-def _psd_complete_pattern(mu: np.ndarray, pat: SparsityPattern) -> None:
+def _psd_complete_pattern(mu: np.ndarray, pat: SparsityPattern, square: bool = False) -> None:
     """PSD completion of the dual block Y = -mu for one decomposed cone via
     clique-tree back-substitution (Vandenberghe, Chordal Graphs and
     Semidefinite Optimization, p.362; reference:
     chordal_decomposition.jl:263-311)."""
     N = pat.side
-    d = tri_dim(N)
+    d = N * N if square else tri_dim(N)
     rows = slice(pat.row_start, pat.row_start + d)
 
-    # y = -mu, unpack svec -> dense symmetric
+    # y = -mu, unpack storage -> dense symmetric
     v = -mu[rows]
-    i_idx, j_idx = _tri_rows_cols(N)
-    scale = np.where(i_idx == j_idx, 1.0, 1.0 / np.sqrt(2.0))
-    Y = np.zeros((N, N), dtype=mu.dtype)
-    Y[i_idx, j_idx] = v * scale
-    Y[j_idx, i_idx] = v * scale
+    if square:
+        Y = v.reshape(N, N).copy()
+        Y = 0.5 * (Y + Y.T)
+    else:
+        i_idx, j_idx = _tri_rows_cols(N)
+        scale = np.where(i_idx == j_idx, 1.0, 1.0 / np.sqrt(2.0))
+        Y = np.zeros((N, N), dtype=mu.dtype)
+        Y[i_idx, j_idx] = v * scale
+        Y[j_idx, i_idx] = v * scale
 
     p = pat.ordering
     ip = np.empty(N, dtype=np.int64)
@@ -292,8 +404,11 @@ def _psd_complete_pattern(mu: np.ndarray, pat: SparsityPattern) -> None:
         W[np.ix_(nu, eta)] = W[np.ix_(eta, nu)].T
 
     Y_full = W[np.ix_(ip, ip)]
-    out_scale = np.where(i_idx == j_idx, 1.0, np.sqrt(2.0))
-    mu[rows] = -(Y_full[i_idx, j_idx] * out_scale)
+    if square:
+        mu[rows] = -Y_full.T.reshape(-1)  # column-stacked: vec index = j*N + i
+    else:
+        out_scale = np.where(i_idx == j_idx, 1.0, np.sqrt(2.0))
+        mu[rows] = -(Y_full[i_idx, j_idx] * out_scale)
 
 
 def _tri_rows_cols(r: int):

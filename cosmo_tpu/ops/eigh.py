@@ -120,6 +120,62 @@ def _apply_round_vec(X, V, p, q):
     return X, V
 
 
+def _jacobi_eigh_transposed(X, sweeps: int):
+    """Jacobi in transposed layout: X as [k, k, B] so every rotation indexes
+    the two *leading* axes with static indices (free on TPU — no lane
+    shuffles; the batch rides the 128-lane dimension). Returns (w [B,k],
+    V [B,k,k])."""
+    k = X.shape[0]
+    B = X.shape[2]
+    dtype = X.dtype
+    rounds = _round_robin_rounds(k)
+    eyeT = jnp.broadcast_to(jnp.eye(k, dtype=dtype)[:, :, None], (k, k, B))
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny * 16, dtype)
+
+    def apply_round(X, V, p, q):
+        app = X[p, p, :]            # [k/2, B]
+        aqq = X[q, q, :]
+        apq = X[p, q, :]
+        small = jnp.abs(apq) <= tiny
+        safe_apq = jnp.where(small, 1.0, apq)
+        tau = (aqq - app) / (2.0 * safe_apq)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0.0, 1.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        c = jnp.where(small, 1.0, c)
+        s = jnp.where(small, 0.0, s)
+
+        cr = c[:, None, :]          # rotate rows: [k/2, 1, B]
+        sr = s[:, None, :]
+        Xp = X[p]                   # [k/2, k, B]
+        Xq = X[q]
+        X = X.at[p].set(cr * Xp - sr * Xq)
+        X = X.at[q].set(sr * Xp + cr * Xq)
+        Xp = X[:, p, :]             # rotate cols: [k, k/2, B]
+        Xq = X[:, q, :]
+        cc = c[None, :, :]
+        sc = s[None, :, :]
+        X = X.at[:, p, :].set(cc * Xp - sc * Xq)
+        X = X.at[:, q, :].set(sc * Xp + cc * Xq)
+        Vp = V[:, p, :]
+        Vq = V[:, q, :]
+        V = V.at[:, p, :].set(cc * Vp - sc * Vq)
+        V = V.at[:, q, :].set(sc * Vp + cc * Vq)
+        return X, V
+
+    def one_sweep(_, carry):
+        X, V = carry
+        for p, q in rounds:
+            X, V = apply_round(X, V, jnp.asarray(p), jnp.asarray(q))
+        X = 0.5 * (X + jnp.swapaxes(X, 0, 1))
+        return X, V
+
+    X, V = lax.fori_loop(0, sweeps, one_sweep, (X, eyeT))
+    w = X[jnp.arange(k), jnp.arange(k), :]          # [k, B]
+    return w.T, jnp.transpose(V, (2, 0, 1))
+
+
 def jacobi_eigh(X, sweeps: int = 8, method: str = "vec"):
     """Eigendecomposition of a stack of symmetric matrices [B, k, k].
 
@@ -131,6 +187,8 @@ def jacobi_eigh(X, sweeps: int = 8, method: str = "vec"):
     if k % 2 != 0:
         w, V = jnp.linalg.eigh(X)
         return w, V
+    if method == "vecT":
+        return _jacobi_eigh_transposed(jnp.transpose(X, (1, 2, 0)), sweeps)
     rounds = _round_robin_rounds(k)
     V0 = jnp.broadcast_to(jnp.eye(k, dtype=X.dtype), (B, k, k))
     apply = _apply_round_vec if method == "vec" else _apply_round

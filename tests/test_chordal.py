@@ -152,3 +152,56 @@ def test_merge_reduces_clique_count():
     live = [k for k in range(len(t.snd)) if len(t.snd[k]) + len(t.sep[k]) > 0]
     roots = [k for k in live if t.snd_par[k] == trees.ROOT]
     assert len(roots) == 1
+
+
+def test_standard_transformation_triangle():
+    """Agler-form decomposition (compact_transformation=False; reference:
+    transformations.jl:5-138) must match the undecomposed solve."""
+    P, q, A, b, sets, L = problems.banded_sdp(n_nodes=18, bandwidth=3, seed=2)
+    m0 = ct.Model(ct.Settings(decompose=False, eps_abs=1e-6, eps_rel=1e-6))
+    m0.set(P, q, A, b, sets)
+    r0 = m0.optimize()
+    m1 = ct.Model(
+        ct.Settings(
+            decompose=True, compact_transformation=False, complete_dual=True,
+            eps_abs=1e-6, eps_rel=1e-6,
+        )
+    )
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert m1.is_decomposed and r1.status == "Solved"
+    assert abs(r1.obj_val - r0.obj_val) < 1e-3
+    assert np.linalg.eigvalsh(smat(r1.s)).min() > -1e-7
+    assert np.linalg.eigvalsh(smat(r1.y)).min() > -1e-4
+
+
+def test_standard_transformation_square_psd():
+    """Square (column-stacked) PSD cones decompose through the standard
+    transformation (the compact path leaves them dense, matching the
+    reference)."""
+    n_nodes = 16
+    _, _, _, _, _, L = problems.banded_sdp(n_nodes=n_nodes, bandwidth=3, seed=3)
+    mrows = n_nodes * n_nodes
+    A = np.zeros((mrows, n_nodes))
+    for i in range(n_nodes):
+        A[i * n_nodes + i, i] = -1.0
+    b = (-L / 4.0).T.reshape(-1)
+    q = np.ones(n_nodes)
+    P = np.zeros((n_nodes, n_nodes))
+
+    m1 = ct.Model(
+        ct.Settings(
+            decompose=True, compact_transformation=False, complete_dual=True,
+            eps_abs=1e-6, eps_rel=1e-6,
+        )
+    )
+    m1.set(P, q, A, b, [ct.PsdCone(mrows)])
+    r1 = m1.optimize()
+    assert m1.is_decomposed and r1.status == "Solved"
+
+    m0 = ct.Model(ct.Settings(decompose=False, eps_abs=1e-6, eps_rel=1e-6))
+    m0.set(P, q, A, b, [ct.PsdCone(mrows)])
+    r0 = m0.optimize()
+    assert abs(r1.obj_val - r0.obj_val) < 1e-3
+    Y = r1.y.reshape(n_nodes, n_nodes).T
+    assert np.linalg.eigvalsh(0.5 * (Y + Y.T)).min() > -1e-3
