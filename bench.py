@@ -113,9 +113,11 @@ def main():
     mu0 = jnp.zeros(m, dtype)
 
     def run():
-        out = solver_mod.solve_jit(
-            Pd, Ad, qd, bd, cones, x0, s0, mu0, dyn, static=static
-        )
+        # full fp32 matmul accuracy (bf16 passes break 1e-5 residuals)
+        with jax.default_matmul_precision("highest"):
+            out = solver_mod.solve_jit(
+                Pd, Ad, qd, bd, cones, x0, s0, mu0, dyn, static=static
+            )
         # int() forces a host transfer: through the remote-TPU tunnel,
         # block_until_ready alone does not reliably synchronize
         return int(out["iter"]), float(out["r_prim"])

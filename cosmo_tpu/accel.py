@@ -61,22 +61,30 @@ def restart(aa: AccelState) -> AccelState:
     )
 
 
-def update(aa: AccelState, g, x) -> AccelState:
-    """Push the pair (x, g = T(x)) into the history
-    (CA.update! semantics; f = x - g)."""
+def update(aa: AccelState, g, x, memory: str = "restarted") -> AccelState:
+    """Push the pair (x, g = T(x)) into the history (CA.update! semantics;
+    f = x - g). ``memory``: "restarted" empties a full history and refills
+    (reference RestartedMemory); "rolling" overwrites the oldest pair
+    (RollingMemory)."""
     mem = aa.dF.shape[0]
     f = x - g
 
-    # restarted memory: when full, empty completely and start refilling
-    full = aa.count >= mem
-    count = jnp.where(full, 0, aa.count)
+    if memory == "rolling":
+        slot = jnp.mod(aa.count, mem)
+        # saturating counter that keeps the write phase
+        count_next = jnp.where(aa.count >= 2 * mem, mem + jnp.mod(aa.count, mem) + 1, aa.count + 1)
+    else:
+        # restarted memory: when full, empty completely and start refilling
+        full = aa.count >= mem
+        slot = jnp.where(full, 0, aa.count)
+        count_next = slot + 1
 
     df_row = f - aa.f_last
     dg_row = g - aa.g_last
     push = aa.have_last
-    dF = jnp.where(push, aa.dF.at[count].set(df_row), aa.dF)
-    dG = jnp.where(push, aa.dG.at[count].set(dg_row), aa.dG)
-    count = jnp.where(push, count + 1, count)
+    dF = jnp.where(push, aa.dF.at[slot].set(df_row), aa.dF)
+    dG = jnp.where(push, aa.dG.at[slot].set(dg_row), aa.dG)
+    count = jnp.where(push, count_next, aa.count)
 
     return aa._replace(
         x_last=x, g_last=g, f_last=f, dF=dF, dG=dG, count=count,
@@ -91,7 +99,7 @@ def accelerate(aa: AccelState, w):
     dtype = w.dtype
 
     rows = jnp.arange(mem)
-    active_row = rows < aa.count  # [mem]
+    active_row = rows < jnp.minimum(aa.count, mem)  # [mem]
 
     Fm = jnp.where(active_row[:, None], aa.dF, 0.0)
     Gm = jnp.where(active_row[:, None], aa.dG, 0.0)
@@ -112,7 +120,7 @@ def accelerate(aa: AccelState, w):
     # clear eps * mem relative to the largest (Gram ratios are squared
     # conditioning of the secant matrix).
     ev = jnp.linalg.eigvalsh(G_raw)  # ascending; inactive rows give zeros
-    kth = ev[jnp.clip(mem - aa.count, 0, mem - 1)]
+    kth = ev[jnp.clip(mem - jnp.minimum(aa.count, mem), 0, mem - 1)]
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     well_cond = kth > (eps * mem) * jnp.abs(ev[-1])
     ok = jnp.all(jnp.isfinite(w_acc)) & (aa.count > 0) & well_cond

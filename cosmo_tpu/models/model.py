@@ -158,6 +158,23 @@ class Model:
         self.mu0 = np.zeros(m)
         return self
 
+    def set_csc(self, P_data, P_indices, P_indptr, q, A_data, A_indices,
+                A_indptr, b, cone: dict, l=None, u=None, m=None, n=None,
+                settings=None):
+        """CSC-triplet entry with an SCS-style cone dict — the cosmo-python
+        path (reference: interface.jl:253-309, convex_sets_from_dict
+        :319-366). Keys: "f" (zero rows), "l" (nonneg rows), "q" (SOC dims),
+        "s" (PSD triangle dims), "ep"/"ed" (# exp / dual-exp cones),
+        "p" (power exponents, negative = dual), "b" (box with bounds l, u).
+        """
+        n = len(q) if n is None else n
+        m = len(b) if m is None else m
+        P = sp.csc_matrix((P_data, P_indices, P_indptr), shape=(n, n))
+        A = sp.csc_matrix((A_data, A_indices, A_indptr), shape=(m, n))
+        if isinstance(settings, dict):
+            settings = Settings.from_dict(settings)
+        return self.set(P, q, A, b, cone_sets_from_dict(cone, l, u), settings)
+
     # -- updates / warm starts ------------------------------------------
     def update(self, q=None, b=None):
         """Update q and/or b between solves (reference: interface.jl:187-211).
@@ -289,9 +306,18 @@ class Model:
 
         t_iter = time.perf_counter()
         with jax.default_matmul_precision(settings.matmul_precision):
-            out = solver_mod.solve_jit(
-                Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static=static
-            )
+            if settings.time_limit and settings.time_limit > 0:
+                # chunked solving with warm-started re-entry so the wall
+                # clock can be checked between device calls (reference
+                # behavior: Time_limit_reached, solver.jl:303-321)
+                out = self._solve_chunked(
+                    Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
+                    settings, t_solver, dtype,
+                )
+            else:
+                out = solver_mod.solve_jit(
+                    Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static=static
+                )
         out = jax.tree_util.tree_map(np.asarray, out)
         times.iter_time = time.perf_counter() - t_iter
 
@@ -332,6 +358,69 @@ class Model:
 
             printing.print_result(self, result)
         return result
+
+
+# attached as a Model method below (kept separate for readability)
+def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
+                   settings, t_start, dtype):
+    chunk = max(int(settings.check_termination) * 10, 250)
+    total = 0
+    sg_total = 0
+    out = None
+    x, s_, mu = x0d, s0d, mu0d
+    while True:
+        this_chunk = min(chunk, int(settings.max_iter) - total)
+        st = static._replace(max_iter=this_chunk)
+        out = solver_mod.solve_jit(
+            Pd, Ad, qd, bd, cones, x, s_, mu, dyn, static=st
+        )
+        status = int(out["status"])
+        total += int(out["iter"])
+        sg_total += int(out["safeguarding_iter"])
+        elapsed = time.perf_counter() - t_start
+        if status != results_mod.MAX_ITER_REACHED or total >= settings.max_iter:
+            break
+        if elapsed > settings.time_limit:
+            out = dict(out)
+            out["status"] = np.asarray(results_mod.TIME_LIMIT_REACHED)
+            break
+        # warm-start the next chunk from the current solution (y = -mu)
+        x = out["x"]
+        s_ = out["s"]
+        mu = -out["y"]
+    out = dict(out)
+    out["iter"] = np.asarray(total)
+    out["safeguarding_iter"] = np.asarray(sg_total)
+    return out
+
+
+Model._solve_chunked = _solve_chunked
+
+
+def cone_sets_from_dict(cone: dict, l=None, u=None) -> List[C.ConvexSet]:
+    """SCS-style cone dict -> ordered cone list (reference:
+    interface.jl:319-366)."""
+    sets: List[C.ConvexSet] = []
+    if cone.get("f"):
+        sets.append(C.ZeroSet(int(cone["f"])))
+    if cone.get("l"):
+        sets.append(C.Nonnegatives(int(cone["l"])))
+    for dim in cone.get("q", []):
+        sets.append(C.SecondOrderCone(int(dim)))
+    for dim in cone.get("s", []):
+        sets.append(C.PsdConeTriangle(int(dim)))
+    for _ in range(int(cone.get("ep", 0))):
+        sets.append(C.ExponentialCone())
+    for _ in range(int(cone.get("ed", 0))):
+        sets.append(C.DualExponentialCone())
+    for expo in cone.get("p", []):
+        if expo >= 0:
+            sets.append(C.PowerCone(float(expo)))
+        else:
+            sets.append(C.DualPowerCone(-float(expo)))
+    if cone.get("b"):
+        sets.append(C.Box(l, u))
+    return sets
 
 
 def _merge_constraints(constraints: List[Constraint]) -> List[Constraint]:

@@ -97,7 +97,13 @@ def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, tol, max_iter: int):
     return x, nu, k
 
 
-def cg_tolerance(admm_iter, dyn):
-    """Decreasing tolerance schedule (reference: kktsolver_indirect.jl:168-170)."""
+def cg_tolerance(admm_iter, res_min, dyn):
+    """Adaptive decreasing tolerance: the reference schedule c/iter^e
+    (kktsolver_indirect.jl:168-170) additionally tightened to a tenth of the
+    current ADMM residual and floored at a tenth of the target tolerance —
+    inexact solves then track the outer iteration instead of stalling it.
+    """
     it = jnp.maximum(admm_iter, 1).astype(dyn.kkt_cg_tol_constant.dtype)
-    return dyn.kkt_cg_tol_constant / (it ** dyn.kkt_cg_tol_exponent)
+    sched = dyn.kkt_cg_tol_constant / (it ** dyn.kkt_cg_tol_exponent)
+    floor = jnp.maximum(0.1 * jnp.minimum(dyn.eps_abs, dyn.eps_rel), 1e-10)
+    return jnp.maximum(jnp.minimum(sched, 0.1 * res_min), floor)

@@ -53,6 +53,17 @@ def _psd_gather(v_ext, bucket: PsdBucket):
 def _psd_project_bucket(X, cones: ConeData):
     """Batched PSD projection: eig + positive-part reconstruction
     (reference: convexset.jl:219-263). [B, k, k] -> [B, k, k]."""
+    import jax
+
+    backend = cones.eigh_backend
+    if backend == "auto":
+        # many small blocks: the Pallas Jacobi kernel (TPU); off-TPU LAPACK
+        # eigh is the right tool
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from . import pallas_eigh
+
+        return pallas_eigh.psd_project_pallas(X, cones.jacobi_sweeps)
     if cones.eigh_backend.startswith("jacobi"):
         method = "mm" if cones.eigh_backend == "jacobi_mm" else "vec"
         return eigh_mod.psd_project_jacobi(X, cones.jacobi_sweeps, method)
@@ -99,8 +110,13 @@ def project(w2, cones: ConeData):
 
 def _psd_min_eigs(v_ext, bucket: PsdBucket, cones: ConeData):
     X = _psd_gather(v_ext, bucket)
-    if cones.eigh_backend.startswith("jacobi"):
-        method = "mm" if cones.eigh_backend == "jacobi_mm" else "vec"
+    import jax
+
+    backend = cones.eigh_backend
+    if backend == "auto":
+        backend = "jacobi" if jax.default_backend() == "tpu" else "xla"
+    if backend in ("jacobi", "jacobi_mm", "pallas"):
+        method = "mm" if backend == "jacobi_mm" else "vec"
         return eigh_mod.min_max_eig_jacobi(X, cones.jacobi_sweeps, method)
     w = jnp.linalg.eigvalsh(X)
     return w[:, 0], w[:, -1]  # (min, max) per block

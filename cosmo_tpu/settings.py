@@ -77,6 +77,7 @@ class Settings:
     # AndersonAccelerator{T, Type2{QRDecomp}, RestartedMemory, NoRegularizer}, mem=15)
     accelerator: Optional[str] = "anderson"
     accelerator_mem: int = 15
+    accelerator_memory: str = "restarted"   # "restarted" | "rolling"
     accelerator_activation: str = ACTIVATION_IMMEDIATE
     accelerator_activation_iter: int = 2
     accelerator_activation_accuracy: float = 1e-4
@@ -97,9 +98,10 @@ class Settings:
     # the number of distinct batched-eigh shapes (zero-padding is exact for
     # PSD projection).
     psd_pad_to: int = 8
-    # Batched-eig backend for the PSD projection: "xla" or "jacobi"
-    # (parallel-ordered Jacobi; batched matmuls on the MXU).
-    eigh_backend: str = "xla"
+    # Batched-eig backend for the PSD projection: "auto" (Pallas Jacobi
+    # kernel on TPU, XLA/LAPACK eigh elsewhere), "xla", "jacobi",
+    # "jacobi_mm", or "pallas".
+    eigh_backend: str = "auto"
     jacobi_sweeps: int = 8
     # Use float64 where available (CPU); float32 otherwise.
     dtype: Any = None
@@ -141,6 +143,7 @@ class StaticConfig(NamedTuple):
     kkt_cg_max_iter: int
     accel_mem: int                 # 0 disables acceleration
     accel_activation: str
+    accel_memory: str
     safeguard: bool
     check_obj_true: bool
     verbose: bool
@@ -190,6 +193,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
         kkt_cg_max_iter=int(settings.kkt_cg_max_iter),
         accel_mem=int(accel_mem),
         accel_activation=settings.accelerator_activation,
+        accel_memory=settings.accelerator_memory,
         safeguard=bool(settings.safeguard),
         check_obj_true=not np.isnan(settings.obj_true),
         verbose=bool(settings.verbose),

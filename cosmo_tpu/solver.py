@@ -118,31 +118,31 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
     # ------------------------------------------------------------------
     # ADMM operator pieces (reference: solver.jl:7-65)
     # ------------------------------------------------------------------
-    def kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter):
+    def kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min):
         if use_dense:
             xt, nu = kkt_ops.dense_solve(kkt_state, A, rho_vec, r1, r2)
         else:
-            tol = kkt_ops.cg_tolerance(admm_iter, dyn)
+            tol = kkt_ops.cg_tolerance(admm_iter, res_min, dyn)
             xt, nu, _ = kkt_ops.cg_solve(
                 P, A, dyn.sigma, rho_vec, r1, r2, sol_prev[:n], tol,
                 static.kkt_cg_max_iter,
             )
         return xt, nu
 
-    def admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter):
+    def admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter, res_min):
         """admm_x! then admm_w! (solver.jl:32-65). Returns (w_new, sol)."""
         r1 = dyn.sigma * w[:n] - q
         r2 = b - 2.0 * s + w[n:]
-        xt, nu = kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter)
+        xt, nu = kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min)
         s_tl = 2.0 * s - w[n:] - nu / rho_vec
         w1 = w[:n] + dyn.alpha * (xt - w[:n])
         w2 = w[n:] + dyn.alpha * (s_tl - s)
         return jnp.concatenate([w1, w2]), jnp.concatenate([xt, nu])
 
-    def plain_step(w, kkt_state, rho_vec, sol_prev, admm_iter):
+    def plain_step(w, kkt_state, rho_vec, sol_prev, admm_iter, res_min):
         """One full ADMM step: projection + x-update + w-update."""
         s = projections.project(w[n:], cones)
-        w_new, sol = admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter)
+        w_new, sol = admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter, res_min)
         return w_new, s, sol
 
     def recover_mu(w_prev, s, rho_vec):
@@ -155,7 +155,10 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
     w0 = jnp.concatenate([x, s0v + mu / rho_vec])
     sol0 = jnp.zeros(n + m, dtype)
     # initialisation half-step so iterates agree with standard ADMM
-    w0, sol0 = admm_x_w(w0, s0v, kkt_state, rho_vec, sol0, jnp.asarray(1, jnp.int32))
+    w0, sol0 = admm_x_w(
+        w0, s0v, kkt_state, rho_vec, sol0, jnp.asarray(1, jnp.int32),
+        jnp.asarray(jnp.inf, dtype),
+    )
 
     big = jnp.asarray(jnp.inf, dtype)
     res0 = res_ops.ResInfo(big, big, jnp.zeros((), dtype), jnp.zeros((), dtype))
@@ -305,7 +308,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
 
             def do_accel(args):
                 aa, w = args
-                aa = accel.update(aa, w, c.w_prev)
+                aa = accel.update(aa, w, c.w_prev, static.accel_memory)
                 w_new, aa = accel.accelerate(aa, w)
                 return aa, w_new
 
@@ -347,7 +350,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
                 c,
             )
 
-        w_new, sol = admm_x_w(c.w, c.s, c.kkt, c.rho_vec, c.sol, it)
+        res_min = jnp.minimum(c.res.r_prim, c.res.r_dual)
+        w_new, sol = admm_x_w(c.w, c.s, c.kkt, c.rho_vec, c.sol, it, res_min)
         c = c._replace(w=w_new, sol=sol)
 
         # --- acceleration_post: safeguarding (accelerator_interface.jl:85-114) ---
@@ -358,7 +362,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
 
                 def decline(c: LoopCarry) -> LoopCarry:
                     g = c.aa.g_last
-                    w_new, s, sol = plain_step(g, c.kkt, c.rho_vec, c.sol, c.iter)
+                    res_min = jnp.minimum(c.res.r_prim, c.res.r_dual)
+                    w_new, s, sol = plain_step(g, c.kkt, c.rho_vec, c.sol, c.iter, res_min)
                     # the iteration ends on a plain ADMM step, so deferred
                     # rho/infeasibility updates may run at the next iteration
                     aa = c.aa._replace(
