@@ -18,7 +18,22 @@ blocks -> bucketed batched eigendecompositions), the KKT system is solved by
 a cached dense Cholesky or matrix-free CG, and decomposed problems shard
 their clique blocks across a TPU mesh.
 """
+import os as _os
+
 import jax as _jax
+
+# persistent XLA compilation cache: the jitted solve programs are large
+# (batched projection kernels + KKT loop); caching them across processes
+# turns minute-scale TPU compiles into cache hits
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("COSMO_TPU_CACHE", "/tmp/cosmo_tpu_jax_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without the option
+        pass
 
 
 def enable_x64():

@@ -84,7 +84,7 @@ def analyse_cone(
         return None
     adj = _adjacency_from_svec(nz, side, square=square)
     cols, perm = graph_mod.chordal_extension(adj)
-    t = trees.build_clique_tree(cols, graph_mode=(merge_strategy == "clique_graph"))
+    t = trees.build_clique_tree(cols, graph_mode=merge_strategy.startswith("clique_graph"))
     merging.merge_cliques(t, merge_strategy)
     if t.num <= 1:
         return None

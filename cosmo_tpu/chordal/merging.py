@@ -84,6 +84,20 @@ def _complexity_weight(c1: Set[int], c2: Set[int]) -> float:
     return float(n1**3 + n2**3 - nm**3)
 
 
+def _padded_weight(c1: Set[int], c2: Set[int]) -> float:
+    """TPU-aware merge weight: the compute model is the *padded bucket*
+    cost (blocks are batched per padded size), so merging is free while the
+    union stays inside the larger block's bucket and pays the full padded
+    cubic cost when it crosses a bucket boundary. Small positive epsilon for
+    in-bucket merges so overlap variables still get eliminated."""
+    from ..ops.conedata import pad_side
+
+    n1, n2 = len(c1), len(c2)
+    nm = len(c1 | c2)
+    p1, p2, pm = pad_side(n1), pad_side(n2), pad_side(nm)
+    return float(p1**3 + p2**3 - pm**3) + 1e-3 * min(n1, n2)
+
+
 def _reduced_clique_graph(seps: List[Set[int]], snd: List[Set[int]]):
     """Edges of the reduced clique graph (union of all clique trees),
     via the Habib–Stacho separator-component construction
@@ -134,14 +148,15 @@ def _is_permissible(c1: int, c2: int, adj: Dict[int, Set[int]], snd: List[Set[in
     return True
 
 
-def merge_clique_graph(t: CliqueTree) -> None:
+def merge_clique_graph(t: CliqueTree, weight_fn=None) -> None:
     """In-place CliqueGraphMerge on a graph-mode tree; afterwards a valid
     clique tree is recomputed (reference: clique_merging.jl:147-165)."""
     assert t.graph_mode
+    weight = weight_fn or _complexity_weight
     snd = t.snd
     edges = _reduced_clique_graph(t.sep, snd)
     w: Dict[Tuple[int, int], float] = {
-        e: _complexity_weight(snd[e[0]], snd[e[1]]) for e in edges
+        e: weight(snd[e[0]], snd[e[1]]) for e in edges
     }
     adj: Dict[int, Set[int]] = {k: set() for k in range(len(snd))}
     for (a, b) in edges:
@@ -173,9 +188,9 @@ def merge_clique_graph(t: CliqueTree) -> None:
         new_neighbors = adj[c2] - neighbors - {c1}
         for nb in neighbors:
             if nb != c2:
-                w[(max(c1, nb), min(c1, nb))] = _complexity_weight(snd[c1], snd[nb])
+                w[(max(c1, nb), min(c1, nb))] = weight(snd[c1], snd[nb])
         for nb in new_neighbors:
-            w[(max(c1, nb), min(c1, nb))] = _complexity_weight(snd[c1], snd[nb])
+            w[(max(c1, nb), min(c1, nb))] = weight(snd[c1], snd[nb])
         # drop all edges touching c2
         for nb in adj[c2]:
             w.pop((max(c2, nb), min(c2, nb)), None)
@@ -272,5 +287,8 @@ def merge_cliques(t: CliqueTree, strategy: str, t_fill: int = 8, t_size: int = 8
         return
     if strategy == "clique_graph":
         merge_clique_graph(t)
+        return
+    if strategy == "clique_graph_tpu":
+        merge_clique_graph(t, weight_fn=_padded_weight)
         return
     raise ValueError(f"Unknown merge strategy: {strategy}")

@@ -333,12 +333,21 @@ class Model:
 
         status = results_mod.STATUS_NAMES[int(out["status"])]
         n_updates = int(out["n_rho_adapt"]) + 1
+        nr = settings.nearly_ratio
+        nearly = (
+            float(out["r_prim"])
+            < nr * settings.eps_abs + nr * settings.eps_rel * float(out["max_norm_prim"])
+        ) and (
+            float(out["r_dual"])
+            < nr * settings.eps_abs + nr * settings.eps_rel * float(out["max_norm_dual"])
+        )
         info = results_mod.ResultInfo(
             r_prim=float(out["r_prim"]),
             r_dual=float(out["r_dual"]),
             max_norm_prim=float(out["max_norm_prim"]),
             max_norm_dual=float(out["max_norm_dual"]),
             rho_updates=out["rho_log"][: min(n_updates, solver_mod.RHO_LOG_LEN)],
+            nearly_feasible=bool(nearly),
         )
         times.solver_time = time.perf_counter() - t_solver
         result = results_mod.Result(

@@ -34,6 +34,22 @@ from ..utils.pytrees import register_pytree_dataclass, static_field
 
 SQRT2 = np.sqrt(2.0)
 
+# geometric bucket ladder for PSD block padding: ~1.5x steps keep the
+# number of distinct batched-eig shapes small (few compiles) while capping
+# the padding FLOP waste at ~(1.5)^3
+GEOMETRIC_SIZES = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
+                   1024, 1536, 2048)
+
+
+def pad_side(r: int, psd_pad_to: int = 8) -> int:
+    """Padded side length for a PSD block of side r."""
+    if psd_pad_to <= 1:
+        return r
+    for sz in GEOMETRIC_SIZES:
+        if sz >= r and sz % psd_pad_to == 0:
+            return sz
+    return -(-r // psd_pad_to) * psd_pad_to
+
 
 def _next_pow2(x: int) -> int:
     p = 1
@@ -173,7 +189,7 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
                 lb[rows] = 0.0
                 nonneg_mask[rows] = True
             else:
-                k = max(psd_pad_to, -(-r // psd_pad_to) * psd_pad_to) if psd_pad_to > 1 else r
+                k = pad_side(r, psd_pad_to)
                 psd_groups.setdefault((k, True), []).append((offset, r))
             rect_mask[rows] = True
             rect_seg[rows] = n_rect
@@ -184,7 +200,7 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
                 lb[rows] = 0.0
                 nonneg_mask[rows] = True
             else:
-                k = max(psd_pad_to, -(-r // psd_pad_to) * psd_pad_to) if psd_pad_to > 1 else r
+                k = pad_side(r, psd_pad_to)
                 psd_groups.setdefault((k, False), []).append((offset, r))
             rect_mask[rows] = True
             rect_seg[rows] = n_rect
@@ -200,12 +216,7 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
                 # M is symmetric with the eigenvalues of H doubled, so the
                 # real batched projection applies unchanged (reference
                 # complex path: convexset.jl:344-360, :446-490 uses zheevr)
-                two_r = 2 * r
-                k = (
-                    max(psd_pad_to, -(-two_r // psd_pad_to) * psd_pad_to)
-                    if psd_pad_to > 1
-                    else two_r
-                )
+                k = pad_side(2 * r, psd_pad_to)
                 psd_groups.setdefault((k, "complex"), []).append((offset, r))
             rect_mask[rows] = True
             rect_seg[rows] = n_rect

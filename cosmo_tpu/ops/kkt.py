@@ -97,6 +97,71 @@ def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, tol, max_iter: int):
     return x, nu, k
 
 
+def minres_solve(P, A, sigma, rho_vec, r1, r2, x0, tol, max_iter: int):
+    """MINRES on the reduced system M x = r1 + A'(rho r2), warm-started at
+    x0 (reference: IndirectKKTSolver / MINRESIndirectKKTSolver,
+    kktsolver_indirect.jl:123-189). Jittable Lanczos + Givens recurrence
+    with a fixed-shape while_loop. Returns (x_tilde, nu, iters)."""
+    t = r1 + rmatvec(A, rho_vec * r2)
+
+    def mv(v):
+        return _reduced_matvec(P, A, sigma, rho_vec, v)
+
+    r0 = t - mv(x0)
+    beta1 = jnp.linalg.norm(r0)
+    safe_beta1 = jnp.maximum(beta1, 1e-30)
+    target = tol * jnp.maximum(jnp.linalg.norm(t), 1e-30)
+
+    # state: (k, x, v_prev, v, beta, eta, gamma in two stages, w_prev, w_pprev, resid)
+    v = r0 / safe_beta1
+    vp = jnp.zeros_like(v)
+    w = jnp.zeros_like(v)
+    wp = jnp.zeros_like(v)
+    state = (
+        jnp.asarray(0, jnp.int32), x0, vp, v, safe_beta1,
+        safe_beta1,                      # eta (rhs of the rotated system)
+        jnp.ones((), t.dtype), jnp.zeros((), t.dtype),   # c_old, s_old
+        jnp.ones((), t.dtype), jnp.zeros((), t.dtype),   # c, s
+        wp, w, beta1,
+    )
+
+    def cond(st):
+        k, x, *_, resid = st
+        return (resid > target) & (k < max_iter)
+
+    def body(st):
+        (k, x, vp, v, beta, eta, c_old, s_old, c, s, wp, w, resid) = st
+        pvec = mv(v) - beta * vp
+        alpha = jnp.dot(v, pvec)
+        pvec = pvec - alpha * v
+        beta_new = jnp.linalg.norm(pvec)
+        v_new = pvec / jnp.maximum(beta_new, 1e-30)
+
+        # apply previous rotations to the new column of T
+        delta = c * alpha - c_old * s * beta
+        gamma1 = s * alpha + c_old * c * beta
+        epsilon = s_old * beta
+        # new rotation to zero beta_new
+        gamma2 = jnp.sqrt(delta * delta + beta_new * beta_new)
+        gamma2 = jnp.maximum(gamma2, 1e-30)
+        c_new = delta / gamma2
+        s_new = beta_new / gamma2
+
+        w_new = (v - gamma1 * w - epsilon * wp) / gamma2
+        x = x + c_new * eta * w_new
+        eta_new = -s_new * eta
+
+        return (
+            k + 1, x, v, v_new, beta_new, eta_new,
+            c, s, c_new, s_new, w, w_new, jnp.abs(eta_new),
+        )
+
+    st = lax.while_loop(cond, body, state)
+    k, x = st[0], st[1]
+    nu = rho_vec * (matvec(A, x) - r2)
+    return x, nu, k
+
+
 def cg_tolerance(admm_iter, res_min, dyn):
     """Adaptive decreasing tolerance: the reference schedule c/iter^e
     (kktsolver_indirect.jl:168-170) additionally tightened to a tenth of the

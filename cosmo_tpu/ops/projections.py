@@ -109,15 +109,10 @@ def project(w2, cones: ConeData):
 # ----------------------------------------------------------------------
 
 def _psd_min_eigs(v_ext, bucket: PsdBucket, cones: ConeData):
+    """Membership tests run only every check_infeasibility iterations, so
+    XLA eigvalsh is always the right tool (the unrolled Jacobi graph would
+    dominate compile time for large blocks)."""
     X = _psd_gather(v_ext, bucket)
-    import jax
-
-    backend = cones.eigh_backend
-    if backend == "auto":
-        backend = "jacobi" if jax.default_backend() == "tpu" else "xla"
-    if backend in ("jacobi", "jacobi_mm", "pallas"):
-        method = "mm" if backend == "jacobi_mm" else "vec"
-        return eigh_mod.min_max_eig_jacobi(X, cones.jacobi_sweeps, method)
     w = jnp.linalg.eigvalsh(X)
     return w[:, 0], w[:, -1]  # (min, max) per block
 

@@ -100,10 +100,27 @@ def maxcut(n_nodes: int = 100, density: float = 0.1, seed: int = 0,
     Returns (P, q, A, b, sets, L) with A in internal ``Ax + s = b`` form.
     """
     rng = np.random.default_rng(seed)
-    W = np.triu(rng.random((n_nodes, n_nodes)) < density, 1).astype(dtype)
-    W = W * rng.random((n_nodes, n_nodes)).astype(dtype)
-    W = W + W.T
-    Lap = np.diag(W.sum(1)) - W
+    if sparse or n_nodes > 3000:
+        import scipy.sparse as sp
+
+        # sample edges directly (O(#edges), not O(n^2))
+        n_edges = int(density * n_nodes * (n_nodes - 1) / 2)
+        i = rng.integers(0, n_nodes, size=int(n_edges * 1.2))
+        j = rng.integers(0, n_nodes, size=int(n_edges * 1.2))
+        keep = i < j
+        i, j = i[keep], j[keep]
+        uniq = np.unique(i.astype(np.int64) * n_nodes + j)[:n_edges]
+        i, j = uniq // n_nodes, uniq % n_nodes
+        wts = rng.random(i.size).astype(dtype)
+        W = sp.coo_matrix((wts, (i, j)), shape=(n_nodes, n_nodes))
+        W = (W + W.T).tocsr()
+        deg = np.asarray(W.sum(axis=1)).ravel()
+        Lap = (sp.diags(deg) - W).tocsr()
+    else:
+        W = np.triu(rng.random((n_nodes, n_nodes)) < density, 1).astype(dtype)
+        W = W * rng.random((n_nodes, n_nodes)).astype(dtype)
+        W = W + W.T
+        Lap = np.diag(W.sum(1)) - W
     return _dual_form_sdp(Lap, dtype, sparse=sparse) + (Lap,)
 
 
@@ -170,10 +187,17 @@ def _dual_form_sdp(Lap: np.ndarray, dtype, sparse: bool = False):
             (-np.ones(n_nodes, dtype=dtype), (diag_rows, np.arange(n_nodes))),
             shape=(m, nvar),
         )
-        i, j = _tri_rows_cols(n_nodes)
-        scale = np.where(i == j, 1.0, np.sqrt(2.0)).astype(dtype)
-        b = -(np.asarray(Lap[i, j]).ravel() * scale) / 4.0
+        Lc = sp.coo_matrix(Lap)
+        mask = Lc.row <= Lc.col
+        ii, jj, vv = Lc.row[mask], Lc.col[mask], Lc.data[mask]
+        scale = np.where(ii == jj, 1.0, np.sqrt(2.0)).astype(dtype)
+        b = np.zeros(m, dtype=dtype)
+        b[jj.astype(np.int64) * (jj + 1) // 2 + ii] = -(vv * scale) / 4.0
     else:
+        import scipy.sparse as sp
+
+        if sp.issparse(Lap):
+            Lap = np.asarray(Lap.todense())
         P = np.zeros((nvar, nvar), dtype=dtype)
         A = np.zeros((m, nvar), dtype=dtype)
         A[diag_rows, np.arange(n_nodes)] = -1.0

@@ -55,6 +55,9 @@ class ResultInfo:
     max_norm_prim: float
     max_norm_dual: float
     rho_updates: np.ndarray
+    # residuals within nearly_ratio x the tolerances (reference:
+    # residuals.jl:119-125; used by MOI for NEARLY_ statuses)
+    nearly_feasible: bool = False
 
 
 @dataclasses.dataclass

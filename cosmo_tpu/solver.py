@@ -30,7 +30,7 @@ from .ops import kkt as kkt_ops
 from .ops import projections
 from .ops import residuals as res_ops
 from .ops import scaling as scaling_ops
-from .settings import DynConfig, StaticConfig, KKT_DENSE
+from .settings import DynConfig, StaticConfig, KKT_DENSE, KKT_MINRES
 
 RHO_LOG_LEN = 64
 
@@ -57,6 +57,7 @@ class LoopCarry(NamedTuple):
     dy: Any
     infeas_due: Any
     rho_due: Any
+    redo: Any              # bool: this pass redoes a safeguard-rejected step
     n_rho_adapt: Any
     rho_log: Any           # [RHO_LOG_LEN]
     aa: Any                # AccelState or ()
@@ -123,7 +124,12 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
             xt, nu = kkt_ops.dense_solve(kkt_state, A, rho_vec, r1, r2)
         else:
             tol = kkt_ops.cg_tolerance(admm_iter, res_min, dyn)
-            xt, nu, _ = kkt_ops.cg_solve(
+            solve_fn = (
+                kkt_ops.minres_solve
+                if static.kkt_solver == KKT_MINRES
+                else kkt_ops.cg_solve
+            )
+            xt, nu, _ = solve_fn(
                 P, A, dyn.sigma, rho_vec, r1, r2, sol_prev[:n], tol,
                 static.kkt_cg_max_iter,
             )
@@ -138,12 +144,6 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         w1 = w[:n] + dyn.alpha * (xt - w[:n])
         w2 = w[n:] + dyn.alpha * (s_tl - s)
         return jnp.concatenate([w1, w2]), jnp.concatenate([xt, nu])
-
-    def plain_step(w, kkt_state, rho_vec, sol_prev, admm_iter, res_min):
-        """One full ADMM step: projection + x-update + w-update."""
-        s = projections.project(w[n:], cones)
-        w_new, sol = admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter, res_min)
-        return w_new, s, sol
 
     def recover_mu(w_prev, s, rho_vec):
         """Moreau: mu = rho (w - Pi(w)) (solver.jl:23-26)."""
@@ -183,6 +183,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         dy=jnp.zeros(m, dtype),
         infeas_due=jnp.asarray(False),
         rho_due=jnp.asarray(False),
+        redo=jnp.asarray(False),
         n_rho_adapt=jnp.zeros((), jnp.int32),
         rho_log=rho_log,
         aa=aa0,
@@ -295,8 +296,16 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
     # main loop body (solver.jl:140-165)
     # ------------------------------------------------------------------
     def body(c: LoopCarry) -> LoopCarry:
-        it = c.iter + 1
-        c = c._replace(iter=it)
+        # a redo pass repeats a safeguard-rejected step as a plain ADMM step
+        # from the rolled-back iterate; it counts as a safeguarding
+        # iteration (reference: accelerator_interface.jl:96-109)
+        is_redo = c.redo
+        it = c.iter + jnp.where(is_redo, 0, 1)
+        c = c._replace(
+            iter=it,
+            sg_iter=c.sg_iter + is_redo.astype(jnp.int32),
+            redo=jnp.asarray(False),
+        )
 
         # --- acceleration_pre (accelerator_interface.jl:58-75) ---
         if static.accel_mem > 0:
@@ -316,7 +325,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
                 aa, w = args
                 return aa._replace(success=jnp.asarray(False)), w
 
-            aa, w = lax.cond(aa.active, do_accel, no_accel, (aa, c.w))
+            aa, w = lax.cond(aa.active & ~is_redo, do_accel, no_accel, (aa, c.w))
             c = c._replace(aa=aa, w=w)
 
         # snapshot the deferred-update predicate for this whole iteration
@@ -354,25 +363,23 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         w_new, sol = admm_x_w(c.w, c.s, c.kkt, c.rho_vec, c.sol, it, res_min)
         c = c._replace(w=w_new, sol=sol)
 
-        # --- acceleration_post: safeguarding (accelerator_interface.jl:85-114) ---
+        # --- acceleration_post: safeguarding (accelerator_interface.jl:85-114)
+        # On rejection, roll back to the last genuine ADMM output g and set
+        # the redo flag: the next loop pass repeats the step as plain ADMM
+        # (identical math to the reference's inline extra step, but the
+        # projection/KKT subgraphs are instantiated only once)
         if static.accel_mem > 0 and static.safeguard:
             def safeguard(c: LoopCarry) -> LoopCarry:
                 nrm_f = jnp.linalg.norm(c.aa.f_last)
                 nrm_f_acc = jnp.linalg.norm(c.w_prev - c.w)
 
                 def decline(c: LoopCarry) -> LoopCarry:
-                    g = c.aa.g_last
-                    res_min = jnp.minimum(c.res.r_prim, c.res.r_dual)
-                    w_new, s, sol = plain_step(g, c.kkt, c.rho_vec, c.sol, c.iter, res_min)
-                    # the iteration ends on a plain ADMM step, so deferred
-                    # rho/infeasibility updates may run at the next iteration
                     aa = c.aa._replace(
                         n_declined=c.aa.n_declined + 1,
                         success=jnp.asarray(False),
                     )
                     return c._replace(
-                        w=w_new, w_prev=g, s=s, sol=sol,
-                        sg_iter=c.sg_iter + 1, aa=aa,
+                        w=c.aa.g_last, redo=jnp.asarray(True), aa=aa
                     )
 
                 bad = nrm_f_acc > dyn.safeguard_tol * nrm_f
@@ -380,13 +387,15 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
 
             c = lax.cond(c.aa.success, safeguard, lambda c: c, c)
 
+        just_declined = c.redo
+
         # --- termination check (solver.jl:303-321) ---
-        check_now = (jnp.mod(it, static.check_termination) == 0) | (it == 1)
+        check_now = ((jnp.mod(it, static.check_termination) == 0) | (it == 1)) & ~just_declined
         c = lax.cond(check_now, check_termination, lambda c: c, c)
 
         # --- infeasibility flag logic (solver.jl:323-349) ---
-        set_due = jnp.mod(it, static.check_infeasibility) == 0
-        do_check = (~set_due) & c.infeas_due & deferred_ok
+        set_due = (jnp.mod(it, static.check_infeasibility) == 0) & ~just_declined
+        do_check = (~set_due) & c.infeas_due & deferred_ok & ~just_declined
         c = c._replace(infeas_due=c.infeas_due | set_due)
         c = lax.cond(do_check, check_infeasibility, lambda c: c, c)
 
