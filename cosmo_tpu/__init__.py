@@ -57,6 +57,7 @@ from .models.cones import (  # noqa: E402
     SecondOrderCone,
     ZeroSet,
 )
+from .interface import solve  # noqa: E402
 from .models.constraint import Constraint  # noqa: E402
 from .models.model import Model, assemble, optimize  # noqa: E402
 from .results import Result, ResultInfo, ResultTimes  # noqa: E402
@@ -74,6 +75,7 @@ __all__ = [
     "ResultTimes",
     "assemble",
     "optimize",
+    "solve",
     "print_merge_logs",
     "print_clique_sizes",
     "enable_x64",

@@ -34,15 +34,20 @@ from .transform import (
 )
 
 
-def _aggregate_sparsity(A_rows, b_rows: np.ndarray, side: int, square: bool = False):
-    """Nonzero storage indices of the cone's rows in A and b, with the
-    diagonal always included (reference: chordal_decomposition.jl:100-115)."""
+def _aggregate_sparsity(A, b_rows: np.ndarray, side: int, square: bool = False,
+                        row0: int = 0):
+    """Nonzero storage indices of the cone's rows [row0, row0+d) in A and b,
+    with the diagonal always included
+    (reference: chordal_decomposition.jl:100-115)."""
     import scipy.sparse as sp
 
-    if sp.issparse(A_rows):
-        nz = np.asarray(A_rows.getnnz(axis=1) > 0).ravel()
+    d = b_rows.shape[0]
+    if sp.issparse(A):
+        A = A.tocsr() if not sp.issparse(A) or A.format != "csr" else A
+        ptr = A.indptr
+        nz = (ptr[row0 + 1 : row0 + d + 1] - ptr[row0 : row0 + d]) > 0
     else:
-        nz = np.any(A_rows != 0.0, axis=1)
+        nz = np.any(A[row0 : row0 + d] != 0.0, axis=1)
     nz = nz | (b_rows != 0.0)
     if square:
         diag = np.arange(side) * side + np.arange(side)
@@ -74,12 +79,12 @@ def _adjacency_from_svec(nz: np.ndarray, side: int, square: bool = False) -> Lis
 
 
 def analyse_cone(
-    A_rows, b_rows: np.ndarray, side: int, merge_strategy: str,
-    square: bool = False,
+    A, b_rows: np.ndarray, side: int, merge_strategy: str,
+    square: bool = False, row0: int = 0,
 ):
     """Sparsity analysis + clique tree + merging for one PSD cone.
     Returns (tree, ordering) or None if the cone is effectively dense."""
-    nz = _aggregate_sparsity(A_rows, b_rows, side, square=square)
+    nz = _aggregate_sparsity(A, b_rows, side, square=square, row0=row0)
     if nz.size >= (side * side if square else tri_dim(side)):
         return None
     adj = _adjacency_from_svec(nz, side, square=square)
@@ -113,8 +118,8 @@ def decompose(P, q, A, b, sets, settings) -> Optional[ChordalInfo]:
         )
         if (is_tri or is_sq) and getattr(cone, "decomposable", False):
             res = analyse_cone(
-                A[row : row + d], b[row : row + d], cone.side,
-                settings.merge_strategy, square=is_sq,
+                A, b[row : row + d], cone.side,
+                settings.merge_strategy, square=is_sq, row0=row,
             )
             if res is not None:
                 t, ordering = res

@@ -97,8 +97,16 @@ def chordal_extension(adj: List[set]) -> Tuple[List[np.ndarray], np.ndarray]:
 
     Returns (cols, perm): the L pattern in permuted coordinates and the
     ordering such that tree-vertex v corresponds to original vertex perm[v].
+    Uses the native C++ implementation when available (cosmo_tpu.native);
+    falls back to the pure-Python one.
     """
-    perm = min_degree_ordering(adj)
-    cols = symbolic_cholesky(adj, perm)
+    from .. import native
+
+    perm = native.min_degree_ordering(adj)
+    if perm is None:
+        perm = min_degree_ordering(adj)
+    cols = native.symbolic_cholesky(adj, perm)
+    if cols is None:
+        cols = symbolic_cholesky(adj, perm)
     cols = connect_graph(cols)
     return cols, perm

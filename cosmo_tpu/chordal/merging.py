@@ -17,6 +17,7 @@ clique_graph.jl.
 """
 from __future__ import annotations
 
+import heapq
 from typing import Dict, List, Set, Tuple
 
 import numpy as np
@@ -163,13 +164,26 @@ def merge_clique_graph(t: CliqueTree, weight_fn=None) -> None:
         adj[a].add(b)
         adj[b].add(a)
 
+    # lazy max-heap over edge weights: stale entries (weight changed or edge
+    # deleted) are skipped on pop; updates push fresh entries
+    heap = [(-wt, e) for e, wt in w.items()]
+    heapq.heapify(heap)
+
     while t.num > 1 and w:
         # max-weight permissible edge (reference traverse, :252-269)
         cand = None
-        for e in sorted(w, key=lambda e: -w[e]):
+        deferred = []
+        while heap:
+            nwt, e = heapq.heappop(heap)
+            cur = w.get(e)
+            if cur is None or cur != -nwt:
+                continue  # stale
             if _is_permissible(e[0], e[1], adj, snd):
                 cand = e
                 break
+            deferred.append((nwt, e))  # valid but not permissible now
+        for item in deferred:
+            heapq.heappush(heap, item)
         if cand is None:
             break
         do_merge = w[cand] >= 0
@@ -188,9 +202,13 @@ def merge_clique_graph(t: CliqueTree, weight_fn=None) -> None:
         new_neighbors = adj[c2] - neighbors - {c1}
         for nb in neighbors:
             if nb != c2:
-                w[(max(c1, nb), min(c1, nb))] = weight(snd[c1], snd[nb])
+                e2 = (max(c1, nb), min(c1, nb))
+                w[e2] = weight(snd[c1], snd[nb])
+                heapq.heappush(heap, (-w[e2], e2))
         for nb in new_neighbors:
-            w[(max(c1, nb), min(c1, nb))] = weight(snd[c1], snd[nb])
+            e2 = (max(c1, nb), min(c1, nb))
+            w[e2] = weight(snd[c1], snd[nb])
+            heapq.heappush(heap, (-w[e2], e2))
         # drop all edges touching c2
         for nb in adj[c2]:
             w.pop((max(c2, nb), min(c2, nb)), None)

@@ -205,6 +205,31 @@ def jacobi_eigh(X, sweeps: int = 8, method: str = "vec"):
     return w, V
 
 
+def psd_project_polar(X, iters: int = 36):
+    """PSD projection via the matrix sign function: Pi(X) = (X + |X|)/2 with
+    |X| = X sign(X), sign computed by the Newton-Schulz iteration
+    Z <- (3Z - Z^3)/2 on Z0 = X/||X||_F.
+
+    Pure batched matmuls — the right tool for *large* blocks on the MXU
+    where Jacobi's rotation chain is too serial. Projection error for
+    eigenvalues whose sign is unresolved after ``iters`` steps is bounded by
+    |lambda| itself; 36 iterations resolve |lambda| >= ~1e-6 ||X||_F, i.e.
+    ~1e-6-relative projection accuracy — inside the solver's 1e-5 regime.
+    """
+    nrm = jnp.sqrt(jnp.sum(X * X, axis=(-2, -1), keepdims=True))
+    Z = X / jnp.maximum(nrm, jnp.asarray(np.finfo(np.dtype(X.dtype)).tiny, X.dtype))
+
+    def step(_, Z):
+        Z2 = jnp.einsum("bij,bjk->bik", Z, Z)
+        Z3 = jnp.einsum("bij,bjk->bik", Z2, Z)
+        Z = 1.5 * Z - 0.5 * Z3
+        return 0.5 * (Z + jnp.swapaxes(Z, -1, -2))
+
+    Z = lax.fori_loop(0, iters, step, Z)
+    P = 0.5 * (X + jnp.einsum("bij,bjk->bik", X, Z))
+    return 0.5 * (P + jnp.swapaxes(P, -1, -2))
+
+
 def psd_project_jacobi(X, sweeps: int = 8, method: str = "vec"):
     """PSD projection via Jacobi: V max(w, 0) V'."""
     w, V = jacobi_eigh(X, sweeps, method)

@@ -56,10 +56,16 @@ def _psd_project_bucket(X, cones: ConeData):
     import jax
 
     backend = cones.eigh_backend
+    k = X.shape[-1]
     if backend == "auto":
-        # many small blocks: the Pallas Jacobi kernel (TPU); off-TPU LAPACK
-        # eigh is the right tool
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() != "tpu":
+            backend = "xla"          # LAPACK eigh off-chip
+        elif k <= 48:
+            backend = "pallas"       # many small blocks: VMEM Jacobi kernel
+        else:
+            backend = "polar"        # large blocks: Newton-Schulz on the MXU
+    if backend == "polar":
+        return eigh_mod.psd_project_polar(X)
     if backend == "pallas":
         from . import pallas_eigh
 

@@ -105,10 +105,13 @@ def test_psd_completion_of_dual():
     """With complete_dual=True the dual block must be PSD after completion
     (reference: test/UnitTests/DecompositionTests/psd_completion.jl)."""
     P, q, A, b, sets, L = problems.banded_sdp(n_nodes=20, bandwidth=3, seed=5)
+    # the completion's accuracy tracks the dual accuracy (back-substitution
+    # amplifies it by the conditioning of the separator blocks), so solve
+    # tightly
     m1 = ct.Model(
         ct.Settings(
             decompose=True, merge_strategy="clique_graph", complete_dual=True,
-            eps_abs=1e-7, eps_rel=1e-7,
+            eps_abs=1e-9, eps_rel=1e-9, max_iter=20000,
         )
     )
     m1.set(P, q, A, b, sets)

@@ -108,3 +108,24 @@ def test_float32():
     res = model.optimize()
     assert res.status == "Solved"
     assert np.linalg.norm(res.x - [0.3, 0.7], np.inf) < 1e-2
+
+
+def test_functional_solve_entry():
+    """One-call SCS-style entry (cosmo_tpu.solve)."""
+    import numpy as np
+
+    import cosmo_tpu as ct
+
+    # min 1/2 x'Px + q'x s.t. x >= 0 (A = -I, b = 0, s = x in Nonneg)
+    P = np.array([[2.0, 0.0], [0.0, 2.0]])
+    q = np.array([-2.0, 1.0])
+    A = -np.eye(2)
+    b = np.zeros(2)
+    res = ct.solve(P, q, A, b, {"l": 2}, eps_abs=1e-8, eps_rel=1e-8)
+    assert res.status == "Solved"
+    assert np.allclose(res.x, [1.0, 0.0], atol=1e-6)
+
+    # P=None LP path
+    res2 = ct.solve(None, np.array([1.0, 1.0]), -np.eye(2), -np.ones(2) * -1.0,
+                    {"l": 2}, eps_abs=1e-7, eps_rel=1e-7)
+    assert res2.status == "Solved"
