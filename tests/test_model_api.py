@@ -1,0 +1,104 @@
+"""Model state-machine / warm-start / update tests (reference:
+test/UnitTests/model_modifications.jl, interface.jl warm-start semantics).
+"""
+import numpy as np
+import pytest
+
+import cosmo_tpu as ct
+
+
+def _qp():
+    rng = np.random.default_rng(0)
+    n, m = 8, 12
+    M = rng.standard_normal((n, n))
+    P = M @ M.T / n + np.eye(n)
+    q = rng.standard_normal(n)
+    A = rng.standard_normal((m, n))
+    b = A @ rng.standard_normal(n) + rng.random(m)
+    return P, q, A, b, [ct.Nonnegatives(m)]
+
+
+def test_update_q_b_and_resolve():
+    P, q, A, b, sets = _qp()
+    model = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8))
+    model.set(P, q, A, b, sets)
+    r1 = model.optimize()
+    assert r1.status == "Solved"
+
+    q2 = q + 0.1
+    b2 = b + 0.05
+    model.update(q=q2, b=b2)
+    r2 = model.optimize()
+    assert r2.status == "Solved"
+
+    fresh = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8))
+    fresh.set(P, q2, A, b2, sets)
+    r3 = fresh.optimize()
+    assert np.allclose(r2.x, r3.x, atol=1e-6)
+
+
+def test_update_dimension_checks():
+    P, q, A, b, sets = _qp()
+    model = ct.Model()
+    model.set(P, q, A, b, sets)
+    with pytest.raises(ValueError):
+        model.update(q=np.zeros(3))
+    with pytest.raises(ValueError):
+        model.update(b=np.zeros(3))
+    unassembled = ct.Model()
+    with pytest.raises(RuntimeError):
+        unassembled.update(q=q)
+
+
+def test_warm_start_reduces_iterations():
+    P, q, A, b, sets = _qp()
+    model = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8))
+    model.set(P, q, A, b, sets)
+    r1 = model.optimize()
+
+    warm = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8))
+    warm.set(P, q, A, b, sets)
+    warm.warm_start(x0=r1.x, y0=r1.y, s0=r1.s)
+    r2 = warm.optimize()
+    assert r2.status == "Solved"
+    assert r2.iter <= r1.iter
+
+
+def test_warm_start_partial_indices():
+    P, q, A, b, sets = _qp()
+    model = ct.Model()
+    model.set(P, q, A, b, sets)
+    model.warm_start_primal(np.array([1.0, 2.0]), ind=[0, 1])
+    assert model.x0[0] == 1.0 and model.x0[1] == 2.0
+    # dual warm start stores mu = -y (reference: interface.jl:161-169)
+    model.warm_start_dual(np.array([3.0]), ind=[2])
+    assert model.mu0[2] == -3.0
+
+
+def test_empty_model_reuse():
+    P, q, A, b, sets = _qp()
+    model = ct.Model()
+    model.set(P, q, A, b, sets)
+    r1 = model.optimize()
+    model.empty()
+    assert not model.is_assembled
+    with pytest.raises(RuntimeError):
+        model.optimize()
+    model.set(P, q, A, b, sets)
+    r2 = model.optimize()
+    assert abs(r1.obj_val - r2.obj_val) < 1e-8
+
+
+def test_time_limit_status():
+    rng = np.random.default_rng(1)
+    # a slow problem with a tiny time budget
+    from cosmo_tpu import problems
+
+    P, q, A, b, sets, _ = problems.banded_sdp(n_nodes=25, bandwidth=4, seed=2)
+    model = ct.Model(
+        ct.Settings(time_limit=1e-4, eps_abs=1e-12, eps_rel=1e-12,
+                    max_iter=100000)
+    )
+    model.set(P, q, A, b, sets)
+    res = model.optimize()
+    assert res.status in ("Time_limit_reached", "Solved")
