@@ -145,4 +145,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # one retry: the TPU tunnel occasionally drops mid-run
+        import time as _t
+
+        _t.sleep(30)
+        main()
