@@ -104,7 +104,9 @@ def main():
         check_infeasibility=40,
         scaling=10,
     )
-    cones = conedata.compile_cones(sets, dtype=dtype, psd_pad_to=8)
+    cones = conedata.compile_cones(
+        sets, dtype=dtype, psd_pad_to=8, eigh_backend="auto", jacobi_sweeps=6
+    )
     static, dyn = split_settings(settings, m, n, dtype)
 
     Pd, Ad, qd, bd = (jnp.asarray(v, dtype) for v in (P, A, q, b))
