@@ -20,7 +20,7 @@ conic problem plus static index maps for the reverse transform.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

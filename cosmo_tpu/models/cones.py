@@ -9,8 +9,6 @@ dispatch (src/convexset.jl:885-891) with a handful of fused vectorized ops.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 

@@ -25,7 +25,6 @@ from functools import lru_cache
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .eigh import _round_robin_rounds, psd_project_jacobi
+from .eigh import _round_robin_rounds
 
 
 def _proj_kernel(pairs_ref, x_ref, out_ref, X_s, V_s, *, k: int, sweeps: int,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from . import eigh as eigh_mod
 from . import exp_pow
-from .conedata import ConeData, PsdBucket, SocBucket
+from .conedata import ConeData, PsdBucket
 
 
 def _ext(v):

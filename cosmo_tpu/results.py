@@ -2,8 +2,6 @@
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 # status codes used on device (int32)

@@ -17,7 +17,6 @@ O(m+n) vector updates.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
