@@ -1,0 +1,89 @@
+"""Option-surface tests: accelerator combinations (reference:
+test/UnitTests/AccelerationTests/anderson_accelerator.jl asserts :Solved for
+all 13 type combinations), settings-from-dict, printing smoke, KKT solvers
+vs a dense reference solve."""
+import io
+import contextlib
+
+import numpy as np
+import pytest
+
+import cosmo_tpu as ct
+from cosmo_tpu.ops import kkt as kkt_ops
+
+import jax.numpy as jnp
+
+
+def _qp():
+    rng = np.random.default_rng(7)
+    n, m = 8, 12
+    M = rng.standard_normal((n, n))
+    P = M @ M.T / n + np.eye(n)
+    q = rng.standard_normal(n)
+    A = rng.standard_normal((m, n))
+    b = A @ rng.standard_normal(n) + rng.random(m)
+    return P, q, A, b, [ct.Nonnegatives(m)]
+
+
+@pytest.mark.parametrize("memory", ["restarted", "rolling"])
+@pytest.mark.parametrize("activation", ["immediate", "iter", "accuracy"])
+@pytest.mark.parametrize("safeguard", [True, False])
+def test_accelerator_combinations_solve(memory, activation, safeguard):
+    P, q, A, b, sets = _qp()
+    model = ct.Model(
+        ct.Settings(
+            eps_abs=1e-7, eps_rel=1e-7,
+            accelerator_memory=memory,
+            accelerator_activation=activation,
+            safeguard=safeguard,
+        )
+    )
+    model.set(P, q, A, b, sets)
+    res = model.optimize()
+    assert res.status == "Solved"
+
+
+def test_settings_from_dict_and_unknown_key():
+    s = ct.Settings.from_dict({"eps_abs": 1e-6, "max_iter": 100})
+    assert s.eps_abs == 1e-6 and s.max_iter == 100
+    with pytest.raises(KeyError):
+        ct.Settings.from_dict({"nope": 1})
+
+
+def test_verbose_printing_smoke():
+    P, q, A, b, sets = _qp()
+    model = ct.Model(ct.Settings(verbose=True, eps_abs=1e-5, eps_rel=1e-5))
+    model.set(P, q, A, b, sets)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res = model.optimize()
+    out = buf.getvalue()
+    assert "cosmo_tpu" in out
+    assert "Results" in out
+    assert res.status == "Solved"
+
+
+@pytest.mark.parametrize("solver", ["cg", "minres"])
+def test_indirect_kkt_matches_dense(solver):
+    """Each KKT backend against a dense numpy reference solve (reference:
+    test/UnitTests/kktsolver.jl)."""
+    rng = np.random.default_rng(3)
+    n, m = 15, 22
+    M = rng.standard_normal((n, n))
+    P = M @ M.T / n + np.eye(n)
+    A = rng.standard_normal((m, n))
+    rho = rng.random(m) + 0.5
+    sigma = 1e-6
+    r1 = rng.standard_normal(n)
+    r2 = rng.standard_normal(m)
+    Mred = P + sigma * np.eye(n) + A.T @ (rho[:, None] * A)
+    x_ref = np.linalg.solve(Mred, r1 + A.T @ (rho * r2))
+    nu_ref = rho * (A @ x_ref - r2)
+
+    fn = kkt_ops.minres_solve if solver == "minres" else kkt_ops.cg_solve
+    x, nu, k = fn(
+        jnp.asarray(P), jnp.asarray(A), sigma, jnp.asarray(rho),
+        jnp.asarray(r1), jnp.asarray(r2), jnp.zeros(n), 1e-12, 1000,
+    )
+    assert np.abs(np.asarray(x) - x_ref).max() < 1e-7
+    assert np.abs(np.asarray(nu) - nu_ref).max() < 1e-6
