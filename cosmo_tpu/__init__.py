@@ -44,6 +44,7 @@ def enable_x64():
 from .models.cones import (  # noqa: E402
     Box,
     ConvexSet,
+    CustomCone,
     DensePsdCone,
     DensePsdConeTriangle,
     DualExponentialCone,
@@ -79,6 +80,7 @@ __all__ = [
     "print_merge_logs",
     "print_clique_sizes",
     "enable_x64",
+    "CustomCone",
     "ZeroSet",
     "Nonnegatives",
     "Box",

@@ -198,6 +198,36 @@ class DualPowerCone(ConvexSet):
             raise ValueError("The exponent alpha of the dual power cone has to be in (0, 1).")
 
 
+@dataclasses.dataclass(repr=False, eq=False)  # identity hash: the cone is
+# static jit-cache data; two distinct instances are distinct programs
+class CustomCone(ConvexSet):
+    """User-defined convex set with a JAX projection (reference: the
+    AbstractConvexSet extension interface, docs/src/lin_solver.md /
+    src/projections.jl:4-20).
+
+    ``project``: jittable ``f(v: [dim]) -> [dim]`` projecting onto the set.
+    Optional ``in_dual(v, tol) -> bool`` and ``in_pol_recc(v, tol) -> bool``
+    membership tests and ``support(v, tol) -> float`` support function feed
+    the infeasibility certificates; without them the solver stays correct
+    but conservatively never certifies infeasibility through this cone.
+    ``scalar_scaling``: rectify Ruiz row scalings to one scalar (required
+    unless the set is separable per-coordinate).
+    """
+
+    dim: int
+    project: object = None
+    in_dual: object = None
+    in_pol_recc: object = None
+    support: object = None
+    scalar_scaling: bool = True
+
+    def __post_init__(self):
+        if self.dim < 1:
+            raise ValueError("dimension must be >= 1")
+        if self.project is None:
+            raise ValueError("CustomCone needs a project function")
+
+
 # Canonical ordering of sets inside the stacked constraint matrix
 # (reference: src/interface.jl:466-475).
 def sort_key(C: ConvexSet) -> int:
@@ -217,6 +247,8 @@ def sort_key(C: ConvexSet) -> int:
 # Cones whose Ruiz row-scaling must be rectified to a single scalar
 # (reference: src/convexset.jl:953-958).
 def needs_scalar_scaling(C: ConvexSet) -> bool:
+    if isinstance(C, CustomCone):
+        return C.scalar_scaling
     return isinstance(
         C,
         (

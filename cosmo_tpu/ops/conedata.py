@@ -133,6 +133,9 @@ class ConeData:
     psd_buckets: Tuple[PsdBucket, ...] = ()
     exp: ExpCones = None
     pow: PowCones = None
+    # user-defined cones: ((offset, cone_object), ...); the cone objects are
+    # static (their jittable member functions are called during tracing)
+    custom: Tuple = static_field(default=())
 
 
 def _tri_index(i: int, j: int) -> int:
@@ -156,6 +159,7 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
     rect_mask = np.zeros(m, dtype=bool)
     rect_seg = np.zeros(m, dtype=np.int32)
 
+    custom_cones: list = []
     soc_groups: dict[int, list[int]] = {}
     psd_groups: dict[tuple[int, bool], list[tuple[int, int]]] = {}  # (k, sym) -> [(offset, r)]
     exp_rows: list[tuple[int, bool]] = []
@@ -241,6 +245,12 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             rect_mask[rows] = True
             rect_seg[rows] = n_rect
             n_rect += 1
+        elif isinstance(cone, C.CustomCone):
+            custom_cones.append((offset, cone))
+            if cone.scalar_scaling:
+                rect_mask[rows] = True
+                rect_seg[rows] = n_rect
+                n_rect += 1
         else:
             raise TypeError(f"Unsupported cone type: {type(cone).__name__}")
         offset += d
@@ -381,4 +391,5 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
         psd_buckets=tuple(psd_bucket_objs),
         exp=exp,
         pow=pw,
+        custom=tuple(custom_cones),
     )

@@ -13,6 +13,7 @@ ops over the batched cone representation:
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from . import eigh as eigh_mod
 from . import exp_pow
@@ -107,6 +108,10 @@ def project(w2, cones: ConeData):
         P = exp_pow.project_pow(V, cones.pow.alpha, cones.pow.is_dual)
         s = _ext(s).at[cones.pow.idx].set(P)[:-1]
 
+    for offset, cone in cones.custom:
+        v = lax.dynamic_slice(w2, (offset,), (cone.dim,))
+        s = lax.dynamic_update_slice(s, cone.project(v), (offset,))
+
     return s
 
 
@@ -167,6 +172,14 @@ def in_pol_recc(v, cones: ConeData, tol):
         dual = exp_pow.pow_in_cone(-V, a, tol)
         ok &= jnp.all(jnp.where(cones.pow.is_dual, dual, prim))
 
+    for offset, cone in cones.custom:
+        if cone.in_pol_recc is None:
+            # unknown membership: conservatively fail the certificate
+            ok &= jnp.asarray(False)
+        else:
+            v_c = lax.dynamic_slice(v, (offset,), (cone.dim,))
+            ok &= cone.in_pol_recc(v_c, tol)
+
     return ok
 
 
@@ -211,4 +224,12 @@ def support_function(y, cones: ConeData, tol):
         dual = exp_pow.pow_in_cone(V, a, tol)
         ok &= jnp.all(jnp.where(cones.pow.is_dual, dual, prim))
 
-    return jnp.where(ok, box_sum, inf)
+    custom_sum = jnp.zeros((), dt)
+    for offset, cone in cones.custom:
+        if cone.support is None:
+            ok &= jnp.asarray(False)
+        else:
+            y_c = lax.dynamic_slice(y, (offset,), (cone.dim,))
+            custom_sum = custom_sum + cone.support(y_c, tol)
+
+    return jnp.where(ok, box_sum + custom_sum, inf)
