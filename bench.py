@@ -96,8 +96,8 @@ def main():
         max_iter=ITERS,
         eps_abs=0.0,
         eps_rel=0.0,
-        eps_prim_inf=1e-12,
-        eps_dual_inf=1e-12,
+        eps_prim_inf=0.0,   # statically disables the infeasibility subgraph
+        eps_dual_inf=0.0,
         accelerator=None,
         adaptive_rho=False,
         check_termination=25,

@@ -139,6 +139,7 @@ class StaticConfig(NamedTuple):
     adaptive_rho: bool
     adaptive_rho_interval: int
     adaptive_rho_max_adaptions: int
+    infeas_enabled: bool
     kkt_solver: str
     kkt_cg_max_iter: int
     accel_mem: int                 # 0 disables acceleration
@@ -189,6 +190,11 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
         adaptive_rho=bool(settings.adaptive_rho),
         adaptive_rho_interval=int(settings.adaptive_rho_interval),
         adaptive_rho_max_adaptions=min(int(settings.adaptive_rho_max_adaptions), 2**31 - 1),
+        infeas_enabled=(
+            settings.eps_prim_inf > 0
+            and settings.eps_dual_inf > 0
+            and settings.check_infeasibility < settings.max_iter
+        ),
         kkt_solver=settings.kkt_solver,
         kkt_cg_max_iter=int(settings.kkt_cg_max_iter),
         accel_mem=int(accel_mem),

@@ -331,11 +331,12 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         deferred_ok = nonaccel_iter(c)
 
         # --- delta_y bookkeeping for infeasibility (solver.jl:145-148) ---
-        def set_dy(c: LoopCarry) -> LoopCarry:
-            mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
-            return c._replace(dy=mu_k)
+        if static.infeas_enabled:
+            def set_dy(c: LoopCarry) -> LoopCarry:
+                mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
+                return c._replace(dy=mu_k)
 
-        c = lax.cond(c.infeas_due & deferred_ok, set_dy, lambda c: c, c)
+            c = lax.cond(c.infeas_due & deferred_ok, set_dy, lambda c: c, c)
 
         # --- ADMM step ---
         c = c._replace(w_prev=c.w)
@@ -393,10 +394,11 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         c = lax.cond(check_now, check_termination, lambda c: c, c)
 
         # --- infeasibility flag logic (solver.jl:323-349) ---
-        set_due = (jnp.mod(it, static.check_infeasibility) == 0) & ~just_declined
-        do_check = (~set_due) & c.infeas_due & deferred_ok & ~just_declined
-        c = c._replace(infeas_due=c.infeas_due | set_due)
-        c = lax.cond(do_check, check_infeasibility, lambda c: c, c)
+        if static.infeas_enabled:
+            set_due = (jnp.mod(it, static.check_infeasibility) == 0) & ~just_declined
+            do_check = (~set_due) & c.infeas_due & deferred_ok & ~just_declined
+            c = c._replace(infeas_due=c.infeas_due | set_due)
+            c = lax.cond(do_check, check_infeasibility, lambda c: c, c)
 
         return c
 
