@@ -423,6 +423,17 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         c.status == results.UNDETERMINED, finalize_maxiter, lambda c: c, c
     )
 
+    # numerical guard (reference analog: inertia checks / cost-blowup abort,
+    # SURVEY.md §5.2): a diverged or non-factorizable solve surfaces as
+    # Unsolved instead of returning NaNs with a success status
+    bad = ~(jnp.all(jnp.isfinite(x_final)) & jnp.all(jnp.isfinite(c.s)))
+    keep = (c.status == results.PRIMAL_INFEASIBLE) | (
+        c.status == results.DUAL_INFEASIBLE
+    )
+    c = c._replace(
+        status=jnp.where(bad & ~keep, jnp.asarray(results.UNSOLVED, jnp.int32), c.status)
+    )
+
     x_out, mu_out, s_out = scaling_ops.unscale_variables(x_final, mu_final, c.s, sm)
     y_out = -mu_out
 

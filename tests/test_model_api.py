@@ -102,3 +102,19 @@ def test_time_limit_status():
     model.set(P, q, A, b, sets)
     res = model.optimize()
     assert res.status in ("Time_limit_reached", "Solved")
+
+
+def test_nonconvex_P_flagged_unsolved():
+    """Indefinite P breaks the Cholesky factor; the solver must surface
+    Unsolved instead of returning NaNs (reference analog: the QDLDL inertia
+    check errors with 'not convex', kktsolver.jl:304)."""
+    rng = np.random.default_rng(0)
+    n, m = 4, 6
+    P = -np.eye(n)
+    A = rng.standard_normal((m, n))
+    b = A @ rng.standard_normal(n) + rng.random(m)
+    model = ct.Model(ct.Settings(max_iter=100))
+    model.set(P, np.zeros(n), A, b, [ct.Nonnegatives(m)])
+    res = model.optimize()
+    assert res.status in ("Unsolved", "Dual_infeasible", "Max_iter_reached")
+    assert res.status != "Solved"
