@@ -375,6 +375,21 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             is_dual=np.zeros((0,), bool),
         )
 
+    if eigh_backend == "auto":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            eigh_backend = "xla"
+        else:
+            small = [b for b in psd_bucket_objs if b.side <= 48]
+            # Pallas Jacobi is the fastest small-block path and is proven
+            # stable in the single-bucket regime; programs mixing several
+            # small-block kernel shapes have triggered TPU-worker kernel
+            # faults with both the Pallas and the jnp rotation paths, so
+            # multi-bucket programs use the Newton-Schulz polar projection
+            # (pure batched matmuls) everywhere instead
+            eigh_backend = "pallas" if len(small) == 1 else "polar"
+
     return ConeData(
         m=m,
         n_rect_segments=n_rect,

@@ -126,14 +126,21 @@ def psd_project_pallas(X, sweeps: int = 6):
     [k, k, TB] scratch buffers must fit). Falls back to XLA eigh off-TPU
     and for blocks too large for the kernel.
     """
+    import os
+
     B, k, _ = X.shape
-    if jax.default_backend() != "tpu" or k % 2 != 0 or k > 48:
+    if (
+        os.environ.get("COSMO_TPU_DISABLE_PALLAS")
+        or jax.default_backend() != "tpu"
+        or k % 2 != 0
+        or k > 48
+    ):
         w, V = jnp.linalg.eigh(X)
         wp = jnp.maximum(w, 0.0)
         return jnp.einsum("bik,bk,bjk->bij", V, wp, V)
     # VMEM budget: ~6 live [k, k, TB] f32 buffers (pipelined in/out + 2
     # scratch) must stay well under the 16 MB core budget
-    budget = 8 * 1024 * 1024
+    budget = 4 * 1024 * 1024
     TB = (budget // (6 * k * k * 4)) // 128 * 128
     TB = max(128, min(512, TB))
     TB = min(TB, max(128, -(-B // 128) * 128))
