@@ -92,9 +92,13 @@ def update(aa: AccelState, g, x, memory: str = "restarted") -> AccelState:
     )
 
 
-def accelerate(aa: AccelState, w):
-    """Compute the Type-II candidate w_acc = g - dG' gamma,
-    gamma = argmin ||f - dF' gamma||.  Returns (w_new, aa)."""
+def accelerate(aa: AccelState, w, aa_type: str = "type2"):
+    """Compute the accelerated candidate w_acc = g - dG' gamma.
+
+    Type-II (default): gamma = argmin ||f - dF' gamma|| (normal equations on
+    dF dF'). Type-I (Fang & Saad / Zhang-O'Donoghue-Boyd multisecant form):
+    gamma solves (dX dF') gamma = dX f with dX = dG + dF, which plugs into
+    the same update w_acc = g - dG' gamma.  Returns (w_new, aa)."""
     mem = aa.dF.shape[0]
     dtype = w.dtype
 
@@ -104,12 +108,17 @@ def accelerate(aa: AccelState, w):
     Fm = jnp.where(active_row[:, None], aa.dF, 0.0)
     Gm = jnp.where(active_row[:, None], aa.dG, 0.0)
 
-    # normal equations on the mem x mem Gram matrix; inactive rows get an
-    # identity diagonal and zero rhs so their gamma is exactly 0
-    G_raw = Fm @ Fm.T
-    diag_fix = jnp.where(active_row, 1e-13 * jnp.maximum(jnp.trace(G_raw), 1.0), 1.0)
+    # mem x mem secant system; inactive rows get an identity diagonal and
+    # zero rhs so their gamma is exactly 0
+    if aa_type == "type1":
+        Xm = Gm + Fm                       # dX = dG + dF
+        G_raw = Xm @ Fm.T
+        rhs = Xm @ aa.f_last
+    else:
+        G_raw = Fm @ Fm.T
+        rhs = Fm @ aa.f_last
+    diag_fix = jnp.where(active_row, 1e-13 * jnp.maximum(jnp.abs(jnp.trace(G_raw)), 1.0), 1.0)
     G = G_raw + jnp.diag(diag_fix)
-    rhs = Fm @ aa.f_last
     gamma = jnp.linalg.solve(G, rhs)
 
     w_acc = aa.g_last - Gm.T @ gamma
@@ -119,10 +128,10 @@ def accelerate(aa: AccelState, w):
     # rank test: the count-th largest eigenvalue of the *unjittered* Gram must
     # clear eps * mem relative to the largest (Gram ratios are squared
     # conditioning of the secant matrix).
-    ev = jnp.linalg.eigvalsh(G_raw)  # ascending; inactive rows give zeros
-    kth = ev[jnp.clip(mem - jnp.minimum(aa.count, mem), 0, mem - 1)]
+    sv = jnp.linalg.svd(G_raw, compute_uv=False)  # descending
+    kth = sv[jnp.clip(jnp.minimum(aa.count, mem) - 1, 0, mem - 1)]
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-    well_cond = kth > (eps * mem) * jnp.abs(ev[-1])
+    well_cond = kth > (eps * mem) * sv[0]
     ok = jnp.all(jnp.isfinite(w_acc)) & (aa.count > 0) & well_cond
 
     w_new = jnp.where(ok, w_acc, w)

@@ -78,6 +78,7 @@ class Settings:
     accelerator: Optional[str] = "anderson"
     accelerator_mem: int = 15
     accelerator_memory: str = "restarted"   # "restarted" | "rolling"
+    accelerator_type: str = "type2"         # "type2" | "type1"
     accelerator_activation: str = ACTIVATION_IMMEDIATE
     accelerator_activation_iter: int = 2
     accelerator_activation_accuracy: float = 1e-4
@@ -145,6 +146,7 @@ class StaticConfig(NamedTuple):
     accel_mem: int                 # 0 disables acceleration
     accel_activation: str
     accel_memory: str
+    accel_type: str
     safeguard: bool
     check_obj_true: bool
     verbose: bool
@@ -200,6 +202,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
         accel_mem=int(accel_mem),
         accel_activation=settings.accelerator_activation,
         accel_memory=settings.accelerator_memory,
+        accel_type=settings.accelerator_type,
         safeguard=bool(settings.safeguard),
         check_obj_true=not np.isnan(settings.obj_true),
         verbose=bool(settings.verbose),

@@ -317,7 +317,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
             def do_accel(args):
                 aa, w = args
                 aa = accel.update(aa, w, c.w_prev, static.accel_memory)
-                w_new, aa = accel.accelerate(aa, w)
+                w_new, aa = accel.accelerate(aa, w, static.accel_type)
                 return aa, w_new
 
             def no_accel(args):

@@ -25,14 +25,16 @@ def _qp():
     return P, q, A, b, [ct.Nonnegatives(m)]
 
 
+@pytest.mark.parametrize("aa_type", ["type2", "type1"])
 @pytest.mark.parametrize("memory", ["restarted", "rolling"])
 @pytest.mark.parametrize("activation", ["immediate", "iter", "accuracy"])
 @pytest.mark.parametrize("safeguard", [True, False])
-def test_accelerator_combinations_solve(memory, activation, safeguard):
+def test_accelerator_combinations_solve(aa_type, memory, activation, safeguard):
     P, q, A, b, sets = _qp()
     model = ct.Model(
         ct.Settings(
             eps_abs=1e-7, eps_rel=1e-7,
+            accelerator_type=aa_type,
             accelerator_memory=memory,
             accelerator_activation=activation,
             safeguard=safeguard,
