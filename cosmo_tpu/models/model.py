@@ -87,13 +87,14 @@ class Model:
         if settings is not None:
             self.settings = settings
 
-        P = _to_dense(P).astype(np.float64)
         q = np.asarray(q, dtype=np.float64).ravel()
-        if P.ndim == 0:
-            P = P.reshape(1, 1)
-        if P.ndim == 1:
-            P = np.diag(P) if P.shape[0] == q.shape[0] else P.reshape(1, 1)
         n = q.shape[0]
+        if not sp.issparse(P):
+            P = _to_dense(P).astype(np.float64)
+            if P.ndim == 0:
+                P = P.reshape(1, 1)
+            if P.ndim == 1:
+                P = np.diag(P) if P.shape[0] == q.shape[0] else P.reshape(1, 1)
         if P.shape != (n, n):
             raise ValueError("The dimensions of matrix P and vector q don't match.")
 
@@ -102,20 +103,25 @@ class Model:
         constraints.sort(key=lambda c: C.sort_key(c.convex_set))
 
         m = sum(c.dim for c in constraints)
-        A = np.zeros((m, n), dtype=np.float64)
-        b = np.zeros(m, dtype=np.float64)
-        row = 0
+        any_sparse = any(sp.issparse(c.A) for c in constraints)
         for con in constraints:
-            d = con.dim
-            Ac = _to_dense(con.A)
-            if Ac.shape[1] != n:
+            if con.A.shape[1] != n:
                 raise ValueError(
-                    f"A constraint has {Ac.shape[1]} columns but the problem has n={n}."
+                    f"A constraint has {con.A.shape[1]} columns but the problem has n={n}."
                 )
-            # sign flip: Ax + b in K  ->  (-A)x + s = b (interface.jl:478-484)
-            A[row : row + d, :] = -Ac
-            b[row : row + d] = con.b
-            row += d
+        b = np.concatenate([con.b for con in constraints]) if m else np.zeros(0)
+        # sign flip: Ax + b in K  ->  (-A)x + s = b (interface.jl:478-484)
+        if any_sparse:
+            A = -sp.vstack(
+                [sp.csr_matrix(con.A) for con in constraints], format="csr"
+            )
+        else:
+            A = np.zeros((m, n), dtype=np.float64)
+            row = 0
+            for con in constraints:
+                d = con.dim
+                A[row : row + d, :] = -_to_dense(con.A)
+                row += d
 
         self.P, self.q, self.A, self.b = P, q, A, b
         self.sets = [con.convex_set for con in constraints]

@@ -118,3 +118,26 @@ def test_nonconvex_P_flagged_unsolved():
     res = model.optimize()
     assert res.status in ("Unsolved", "Dual_infeasible", "Max_iter_reached")
     assert res.status != "Solved"
+
+
+def test_assemble_with_sparse_constraints():
+    """assemble keeps sparse constraint matrices sparse end-to-end."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    n, m = 10, 14
+    A = sp.random(m, n, density=0.3, random_state=3, format="csr")
+    b = np.asarray(A @ rng.standard_normal(n)) + rng.random(m)
+    con = ct.Constraint(-A, b, ct.Nonnegatives(m))  # -A x + b >= 0
+    P = sp.identity(n, format="csr")
+    q = rng.standard_normal(n)
+    model = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8))
+    model.assemble(P, q, [con])
+    assert sp.issparse(model.A) and sp.issparse(model.P)
+    r1 = model.optimize()
+
+    dense = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8))
+    dense.assemble(P.toarray(), q, [ct.Constraint(-A.toarray(), b, ct.Nonnegatives(m))])
+    r0 = dense.optimize()
+    assert r1.status == "Solved"
+    assert np.allclose(r1.x, r0.x, atol=1e-5)
