@@ -283,17 +283,38 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
         soc_bucket_objs.append(SocBucket(idx=idx))
 
     # --- PSD buckets ---
+    # normalize groups to (k, [(offset, r, kind), ...]) and consolidate all
+    # small buckets into one: per-iteration cost is dominated by the number
+    # of sequential projection dispatches, not padded FLOPs, and the Pallas
+    # kernel is stable in the single-small-bucket regime
+    norm_groups: dict = {}
+    for (k, kind), blocks in psd_groups.items():
+        norm_groups.setdefault(k, []).extend((o, r, kind) for (o, r) in blocks)
+    # consolidation enlarges the gather/scatter maps (every block padded to
+    # the largest small side), which costs more than the saved dispatches —
+    # only collapse pathological shape diversity to bound compile time
+    if psd_pad_to > 1:
+        small_sides = [k for k in norm_groups if k <= 48]
+        if len(small_sides) > 6:
+            target = max(small_sides)
+            merged = []
+            for k in small_sides:
+                merged.extend(norm_groups.pop(k))
+            norm_groups.setdefault(target, []).extend(merged)
+
     psd_bucket_objs = []
-    for (k, kind), blocks in sorted(
-        psd_groups.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))
-    ):
-        symmetrize = kind is True
+    for k, blocks in sorted(norm_groups.items()):
+        kinds = {kind for (_, _, kind) in blocks}
+        # square (column-stacked) storage gathers an unsymmetrized matrix;
+        # symmetrizing is a no-op for the other storages, so a mixed bucket
+        # just symmetrizes everything
+        symmetrize = True in kinds
         B = len(blocks)
         g_idx = np.full((B, k, k), DUMP, dtype=np.int32)
         g_scl = np.zeros((B, k, k), dtype=dtype)
         s_idx = np.full((B, k, k), DUMP, dtype=np.int32)
         s_scl = np.zeros((B, k, k), dtype=dtype)
-        for b, (o, r) in enumerate(blocks):
+        for b, (o, r, kind) in enumerate(blocks):
             if kind == "complex":
                 # H = A + iB packed as [svec(A); sqrt(2) * strict-upper(B)]
                 # (reference: convexset.jl:446-490). Real embedding:
@@ -321,7 +342,7 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
                         # scatter imag parts from the bottom-left block
                         s_idx[b, r + i, j] = t
                         s_scl[b, r + i, j] = SQRT2
-            elif symmetrize:
+            elif kind is True:  # square storage
                 # square, column-stacked storage: vec index of (i,j) = o + j*r + i
                 for j in range(r):
                     for i in range(r):
@@ -382,13 +403,17 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             eigh_backend = "xla"
         else:
             small = [b for b in psd_bucket_objs if b.side <= 48]
-            # Pallas Jacobi is the fastest small-block path and is proven
-            # stable in the single-bucket regime; programs mixing several
-            # small-block kernel shapes have triggered TPU-worker kernel
-            # faults with both the Pallas and the jnp rotation paths, so
-            # multi-bucket programs use the Newton-Schulz polar projection
-            # (pure batched matmuls) everywhere instead
-            eigh_backend = "pallas" if len(small) == 1 else "polar"
+            # Pallas Jacobi wins for a single bucket of short rotation
+            # chains (k <= 16); for larger k the serial in-kernel chain
+            # (k-1 rounds x sweeps x grid steps) loses to the Newton-Schulz
+            # polar projection, and programs mixing several small-block
+            # kernel shapes have triggered TPU-worker kernel faults with
+            # both rotation paths — polar (pure batched matmuls) is the
+            # robust default
+            if len(small) == 1 and small[0].side <= 16:
+                eigh_backend = "pallas"
+            else:
+                eigh_backend = "polar"
 
     return ConeData(
         m=m,
