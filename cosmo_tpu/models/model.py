@@ -189,8 +189,10 @@ class Model:
         cached XLA program, updating vectors never triggers a recompile."""
         if not self.is_assembled:
             raise RuntimeError("Model has to be assembled before updating q or b.")
-        if self.is_decomposed and (q is not None or b is not None):
-            raise RuntimeError("q/b cannot be updated after chordal decomposition.")
+        # unlike the reference (interface.jl:193: updates are forbidden after
+        # decomposition because it rewrites the stored problem in place), the
+        # decomposition here is re-derived from the original data at every
+        # optimize(), so updates remain valid
         if q is not None:
             q = np.asarray(q, dtype=np.float64).ravel()
             if len(q) != self.model_size[1]:

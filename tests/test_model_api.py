@@ -141,3 +141,22 @@ def test_assemble_with_sparse_constraints():
     r0 = dense.optimize()
     assert r1.status == "Solved"
     assert np.allclose(r1.x, r0.x, atol=1e-5)
+
+
+def test_update_after_decomposed_solve():
+    """Updates stay legal after a decomposed solve (the decomposition is
+    re-derived from the original data each optimize)."""
+    from cosmo_tpu import problems
+
+    P, q, A, b, sets, _ = problems.banded_sdp(n_nodes=15, bandwidth=3, seed=4)
+    model = ct.Model(ct.Settings(decompose=True, eps_abs=1e-6, eps_rel=1e-6))
+    model.set(P, q, A, b, sets)
+    r1 = model.optimize()
+    assert model.is_decomposed and r1.status == "Solved"
+    model.update(q=q * 1.1)
+    r2 = model.optimize()
+    assert r2.status == "Solved"
+    fresh = ct.Model(ct.Settings(decompose=True, eps_abs=1e-6, eps_rel=1e-6))
+    fresh.set(P, q * 1.1, A, b, sets)
+    r3 = fresh.optimize()
+    assert abs(r2.obj_val - r3.obj_val) < 1e-4
