@@ -204,28 +204,39 @@ def jacobi_eigh(X, sweeps: int = 8, method: str = "vec"):
     return w, V
 
 
-def psd_project_polar(X, iters: int = 36):
+def psd_project_polar(X, quintic_iters: int = 9, cubic_iters: int = 6):
     """PSD projection via the matrix sign function: Pi(X) = (X + |X|)/2 with
-    |X| = X sign(X), sign computed by the Newton-Schulz iteration
-    Z <- (3Z - Z^3)/2 on Z0 = X/||X||_F.
+    |X| = X sign(X), sign computed by a Newton-Schulz iteration on
+    Z0 = X/||X||_F.
 
     Pure batched matmuls — the right tool for *large* blocks on the MXU
-    where Jacobi's rotation chain is too serial. Projection error for
-    eigenvalues whose sign is unresolved after ``iters`` steps is bounded by
-    |lambda| itself; 36 iterations resolve |lambda| >= ~1e-6 ||X||_F, i.e.
-    ~1e-6-relative projection accuracy — inside the solver's 1e-5 regime.
+    where Jacobi's rotation chain is too serial. Schedule: an aggressive
+    quintic phase p(x) = ax + bx^3 + cx^5 with slope ~3.4 at the origin
+    (pushes |lambda| >= ~1e-6 ||X|| into O(1) in ~9 steps; the polynomial
+    keeps |p| <= ~1.2 on [0, 1.2], inside the cubic basin |x| < sqrt(3)),
+    then plain cubic (3Z - Z^3)/2 to polish to ~1e-7. Projection error for
+    eigenvalues whose sign stays unresolved is bounded by |lambda| itself,
+    so overall accuracy is ~1e-6-relative — inside the solver's 1e-5 regime.
     """
+    a, bq, cq = 3.4445, -4.7750, 2.0315  # standard quintic sign coefficients
     nrm = jnp.sqrt(jnp.sum(X * X, axis=(-2, -1), keepdims=True))
     Z = X / jnp.maximum(nrm, jnp.asarray(np.finfo(np.dtype(X.dtype)).tiny, X.dtype))
 
-    def step(_, Z):
-        Z2 = jnp.einsum("bij,bjk->bik", Z, Z)
-        Z3 = jnp.einsum("bij,bjk->bik", Z2, Z)
-        Z = 1.5 * Z - 0.5 * Z3
+    def mm(U, V):
+        return jnp.einsum("bij,bjk->bik", U, V)
+
+    def quintic(_, Z):
+        Y = mm(Z, Z)
+        W = a * Z + bq * mm(Z, Y) + cq * mm(Z, mm(Y, Y))
+        return 0.5 * (W + jnp.swapaxes(W, -1, -2))
+
+    def cubic(_, Z):
+        Z = 1.5 * Z - 0.5 * mm(mm(Z, Z), Z)
         return 0.5 * (Z + jnp.swapaxes(Z, -1, -2))
 
-    Z = lax.fori_loop(0, iters, step, Z)
-    P = 0.5 * (X + jnp.einsum("bij,bjk->bik", X, Z))
+    Z = lax.fori_loop(0, quintic_iters, quintic, Z)
+    Z = lax.fori_loop(0, cubic_iters, cubic, Z)
+    P = 0.5 * (X + mm(X, Z))
     return 0.5 * (P + jnp.swapaxes(P, -1, -2))
 
 
