@@ -356,6 +356,7 @@ class Model:
             max_norm_dual=float(out["max_norm_dual"]),
             rho_updates=out["rho_log"][: min(n_updates, solver_mod.RHO_LOG_LEN)],
             nearly_feasible=bool(nearly),
+            kkt_solver_iters=int(out.get("kkt_solver_iters", 0)),
         )
         times.solver_time = time.perf_counter() - t_solver
         result = results_mod.Result(

@@ -56,6 +56,8 @@ class ResultInfo:
     # residuals within nearly_ratio x the tolerances (reference:
     # residuals.jl:119-125; used by MOI for NEARLY_ statuses)
     nearly_feasible: bool = False
+    # total inner CG/MINRES iterations across the solve (0 for dense KKT)
+    kkt_solver_iters: int = 0
 
 
 @dataclasses.dataclass

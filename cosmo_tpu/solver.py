@@ -57,6 +57,7 @@ class LoopCarry(NamedTuple):
     infeas_due: Any
     rho_due: Any
     redo: Any              # bool: this pass redoes a safeguard-rejected step
+    kkt_iters: Any         # int32: accumulated inner CG/MINRES iterations
     n_rho_adapt: Any
     rho_log: Any           # [RHO_LOG_LEN]
     aa: Any                # AccelState or ()
@@ -121,6 +122,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
     def kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min):
         if use_dense:
             xt, nu = kkt_ops.dense_solve(kkt_state, A, rho_vec, r1, r2)
+            k = jnp.zeros((), jnp.int32)
         else:
             tol = kkt_ops.cg_tolerance(admm_iter, res_min, dyn)
             solve_fn = (
@@ -128,21 +130,21 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
                 if static.kkt_solver == KKT_MINRES
                 else kkt_ops.cg_solve
             )
-            xt, nu, _ = solve_fn(
+            xt, nu, k = solve_fn(
                 P, A, dyn.sigma, rho_vec, r1, r2, sol_prev[:n], tol,
                 static.kkt_cg_max_iter,
             )
-        return xt, nu
+        return xt, nu, jnp.asarray(k, jnp.int32)
 
     def admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter, res_min):
         """admm_x! then admm_w! (solver.jl:32-65). Returns (w_new, sol)."""
         r1 = dyn.sigma * w[:n] - q
         r2 = b - 2.0 * s + w[n:]
-        xt, nu = kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min)
+        xt, nu, k = kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min)
         s_tl = 2.0 * s - w[n:] - nu / rho_vec
         w1 = w[:n] + dyn.alpha * (xt - w[:n])
         w2 = w[n:] + dyn.alpha * (s_tl - s)
-        return jnp.concatenate([w1, w2]), jnp.concatenate([xt, nu])
+        return jnp.concatenate([w1, w2]), jnp.concatenate([xt, nu]), k
 
     def recover_mu(w_prev, s, rho_vec):
         """Moreau: mu = rho (w - Pi(w)) (solver.jl:23-26)."""
@@ -154,7 +156,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
     w0 = jnp.concatenate([x, s0v + mu / rho_vec])
     sol0 = jnp.zeros(n + m, dtype)
     # initialisation half-step so iterates agree with standard ADMM
-    w0, sol0 = admm_x_w(
+    w0, sol0, kkt_it0 = admm_x_w(
         w0, s0v, kkt_state, rho_vec, sol0, jnp.asarray(1, jnp.int32),
         jnp.asarray(jnp.inf, dtype),
     )
@@ -183,6 +185,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         infeas_due=jnp.asarray(False),
         rho_due=jnp.asarray(False),
         redo=jnp.asarray(False),
+        kkt_iters=kkt_it0,
         n_rho_adapt=jnp.zeros((), jnp.int32),
         rho_log=rho_log,
         aa=aa0,
@@ -360,8 +363,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
             )
 
         res_min = jnp.minimum(c.res.r_prim, c.res.r_dual)
-        w_new, sol = admm_x_w(c.w, c.s, c.kkt, c.rho_vec, c.sol, it, res_min)
-        c = c._replace(w=w_new, sol=sol)
+        w_new, sol, k_in = admm_x_w(c.w, c.s, c.kkt, c.rho_vec, c.sol, it, res_min)
+        c = c._replace(w=w_new, sol=sol, kkt_iters=c.kkt_iters + k_in)
 
         # --- acceleration_post: safeguarding (accelerator_interface.jl:85-114)
         # On rejection, roll back to the last genuine ADMM output g and set
@@ -450,6 +453,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         max_norm_prim=c.res.max_norm_prim,
         max_norm_dual=c.res.max_norm_dual,
         n_rho_adapt=c.n_rho_adapt,
+        kkt_solver_iters=c.kkt_iters,
         rho_log=c.rho_log,
         n_accelerated=(c.aa.n_accelerated if static.accel_mem > 0 else jnp.zeros((), jnp.int32)),
     )
