@@ -42,17 +42,25 @@ def _aggregate_sparsity(A, b_rows: np.ndarray, side: int, square: bool = False,
     import scipy.sparse as sp
 
     d = b_rows.shape[0]
-    if sp.issparse(A):
-        A = A.tocsr() if not sp.issparse(A) or A.format != "csr" else A
-        ptr = A.indptr
-        nz = (ptr[row0 + 1 : row0 + d + 1] - ptr[row0 : row0 + d]) > 0
-    else:
-        nz = np.any(A[row0 : row0 + d] != 0.0, axis=1)
-    nz = nz | (b_rows != 0.0)
     if square:
         diag = np.arange(side) * side + np.arange(side)
     else:
-        diag = np.array([tri_dim(i + 1) - 1 for i in range(side)], dtype=np.int64)
+        diag = (np.arange(1, side + 1, dtype=np.int64) * np.arange(2, side + 2)) // 2 - 1
+    if sp.issparse(A):
+        A = A if A.format == "csr" else A.tocsr()
+        ptr = A.indptr
+        # rows with entries, via one searchsorted over the nnz indices —
+        # O(nnz log m), not an O(m) indptr sweep (m can be 5e7+)
+        lo, hi = ptr[row0], ptr[row0 + d]
+        rows_nz = np.unique(
+            np.searchsorted(
+                ptr, np.arange(lo, hi, dtype=ptr.dtype), side="right"
+            ) - 1 - row0
+        )
+        b_nz = np.flatnonzero(b_rows)
+        return np.union1d(np.union1d(rows_nz, b_nz), diag)
+    nz = np.any(A[row0 : row0 + d] != 0.0, axis=1)
+    nz = nz | (b_rows != 0.0)
     nz[diag] = True
     return np.where(nz)[0]
 

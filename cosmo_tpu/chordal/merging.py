@@ -105,8 +105,21 @@ def _reduced_clique_graph(seps: List[Set[int]], snd: List[Set[int]]):
     (reference: clique_graph.jl:16-46)."""
     edges: Set[Tuple[int, int]] = set()
     uniq_seps = {frozenset(s) for s in seps if len(s) > 0}
+    # vertex -> containing cliques index, so finding the cliques that
+    # contain a separator is an intersection of short lists instead of a
+    # scan over all cliques per separator
+    by_vertex: Dict[int, Set[int]] = {}
+    for k, c in enumerate(snd):
+        for v in c:
+            by_vertex.setdefault(v, set()).add(k)
     for separator in sorted(uniq_seps, key=len, reverse=True):
-        clique_ind = [k for k, c in enumerate(snd) if separator <= c]
+        it = iter(separator)
+        cand = set(by_vertex.get(next(it), ()))
+        for v in it:
+            cand &= by_vertex.get(v, set())
+            if not cand:
+                break
+        clique_ind = sorted(cand)
         if len(clique_ind) < 2:
             continue
         # separator graph H: edge (a, b) iff C_a ∩ C_b strictly contains S
