@@ -147,11 +147,18 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+    import sys
+
     try:
         main()
     except Exception:
-        # one retry: the TPU tunnel occasionally drops mid-run
+        if os.environ.get("COSMO_BENCH_RETRY"):
+            raise
+        # one retry in a fresh process: the TPU tunnel/worker occasionally
+        # crashes mid-run and a stale backend cannot recover in-process
         import time as _t
 
-        _t.sleep(30)
-        main()
+        _t.sleep(60)
+        os.environ["COSMO_BENCH_RETRY"] = "1"
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
