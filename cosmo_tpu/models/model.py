@@ -448,7 +448,7 @@ def _merge_constraints(constraints: List[Constraint]) -> List[Constraint]:
     for SetT in (C.ZeroSet, C.Nonnegatives):
         group = [c for c in constraints if type(c.convex_set) is SetT]
         if len(group) > 1:
-            A = sp.vstack([sp.csr_matrix(_to_dense(c.A)) for c in group])
+            A = sp.vstack([sp.csr_matrix(c.A) for c in group])
             b = np.concatenate([c.b for c in group])
             merged = Constraint(A, b, SetT(A.shape[0]))
             constraints = [c for c in constraints if type(c.convex_set) is not SetT]
