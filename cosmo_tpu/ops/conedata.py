@@ -91,6 +91,8 @@ class PsdBucket:
 class ExpCones:
     idx: Any       # int32 [N, 3]
     is_dual: Any   # bool  [N]
+    tol: Any = None       # dtype [N] per-cone projection tolerance
+    max_iter: int = static_field(default=100)
 
 
 @register_pytree_dataclass
@@ -99,6 +101,8 @@ class PowCones:
     idx: Any       # int32 [N, 3]
     alpha: Any     # dtype [N]
     is_dual: Any   # bool  [N]
+    tol: Any = None       # dtype [N] per-cone projection tolerance
+    max_iter: int = static_field(default=20)
 
 
 @register_pytree_dataclass
@@ -162,8 +166,8 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
     custom_cones: list = []
     soc_groups: dict[int, list[int]] = {}
     psd_groups: dict[tuple[int, bool], list[tuple[int, int]]] = {}  # (k, sym) -> [(offset, r)]
-    exp_rows: list[tuple[int, bool]] = []
-    pow_rows: list[tuple[int, float, bool]] = []
+    exp_rows: list[tuple[int, bool, float, int]] = []
+    pow_rows: list[tuple[int, float, bool, float, int]] = []
 
     n_rect = 0
     offset = 0
@@ -226,22 +230,22 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             rect_seg[rows] = n_rect
             n_rect += 1
         elif isinstance(cone, C.ExponentialCone):
-            exp_rows.append((offset, False))
+            exp_rows.append((offset, False, cone.tol, cone.max_iter))
             rect_mask[rows] = True
             rect_seg[rows] = n_rect
             n_rect += 1
         elif isinstance(cone, C.DualExponentialCone):
-            exp_rows.append((offset, True))
+            exp_rows.append((offset, True, cone.tol, cone.max_iter))
             rect_mask[rows] = True
             rect_seg[rows] = n_rect
             n_rect += 1
         elif isinstance(cone, C.PowerCone):
-            pow_rows.append((offset, cone.alpha, False))
+            pow_rows.append((offset, cone.alpha, False, cone.tol, cone.max_iter))
             rect_mask[rows] = True
             rect_seg[rows] = n_rect
             n_rect += 1
         elif isinstance(cone, C.DualPowerCone):
-            pow_rows.append((offset, cone.alpha, True))
+            pow_rows.append((offset, cone.alpha, True, cone.tol, cone.max_iter))
             rect_mask[rows] = True
             rect_seg[rows] = n_rect
             n_rect += 1
@@ -377,23 +381,35 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
     # --- exp / pow stacks ---
     if exp_rows:
         e_idx = np.array(
-            [[o, o + 1, o + 2] for (o, _) in exp_rows], dtype=np.int32
+            [[o, o + 1, o + 2] for (o, *_a) in exp_rows], dtype=np.int32
         )
-        e_dual = np.array([d for (_, d) in exp_rows], dtype=bool)
-        exp = ExpCones(idx=e_idx, is_dual=e_dual)
+        e_dual = np.array([d for (_, d, _t, _mi) in exp_rows], dtype=bool)
+        e_tol = np.array([t for (_, _d, t, _mi) in exp_rows], dtype=dtype)
+        exp = ExpCones(
+            idx=e_idx, is_dual=e_dual, tol=e_tol,
+            max_iter=max(mi for (_, _d, _t, mi) in exp_rows),
+        )
     else:
-        exp = ExpCones(idx=np.zeros((0, 3), np.int32), is_dual=np.zeros((0,), bool))
+        exp = ExpCones(
+            idx=np.zeros((0, 3), np.int32), is_dual=np.zeros((0,), bool),
+            tol=np.zeros((0,), dtype),
+        )
 
     if pow_rows:
-        p_idx = np.array([[o, o + 1, o + 2] for (o, _, _) in pow_rows], dtype=np.int32)
-        p_alpha = np.array([a for (_, a, _) in pow_rows], dtype=dtype)
-        p_dual = np.array([d for (_, _, d) in pow_rows], dtype=bool)
-        pw = PowCones(idx=p_idx, alpha=p_alpha, is_dual=p_dual)
+        p_idx = np.array([[o, o + 1, o + 2] for (o, *_a) in pow_rows], dtype=np.int32)
+        p_alpha = np.array([a for (_, a, _d, _t, _mi) in pow_rows], dtype=dtype)
+        p_dual = np.array([d for (_, _a, d, _t, _mi) in pow_rows], dtype=bool)
+        p_tol = np.array([t for (_, _a, _d, t, _mi) in pow_rows], dtype=dtype)
+        pw = PowCones(
+            idx=p_idx, alpha=p_alpha, is_dual=p_dual, tol=p_tol,
+            max_iter=max(mi for (_, _a, _d, _t, mi) in pow_rows),
+        )
     else:
         pw = PowCones(
             idx=np.zeros((0, 3), np.int32),
             alpha=np.zeros((0,), dtype),
             is_dual=np.zeros((0,), bool),
+            tol=np.zeros((0,), dtype),
         )
 
     if eigh_backend == "auto":

@@ -119,7 +119,7 @@ def _project_exp_case4(v0, tol, max_iter):
     return sol
 
 
-def _project_exp_one(v, tol, max_iter):
+def _project_exp_one(v, tol, max_iter=100):
     """Project a single vector onto K_exp (reference: convexset.jl:510-534)."""
     case1 = exp_in_cone(v, 0.0)
     case2 = exp_in_dual(-v, 0.0)
@@ -130,12 +130,16 @@ def _project_exp_one(v, tol, max_iter):
     return out
 
 
-def project_exp(V, is_dual, tol: float = 1e-8, max_iter: int = 100):
-    """Project rows of V [N,3] onto K_exp (or K_exp^* where is_dual)."""
+def project_exp(V, is_dual, tol=None, max_iter: int = 100):
+    """Project rows of V [N,3] onto K_exp (or K_exp^* where is_dual).
+    ``tol`` may be a per-row array (per-cone tolerances, reference:
+    ExponentialCone MAX_ITERS/EXP_TOL fields, convexset.jl:497-505)."""
     if V.shape[0] == 0:
         return V
+    if tol is None:
+        tol = jnp.full(V.shape[0], 1e-8, V.dtype)
     U = jnp.where(is_dual[:, None], -V, V)
-    P = jax.vmap(partial(_project_exp_one, tol=tol, max_iter=max_iter))(U)
+    P = jax.vmap(partial(_project_exp_one, max_iter=max_iter))(U, tol)
     return jnp.where(is_dual[:, None], V + P, P)
 
 
@@ -197,7 +201,7 @@ def _project_pow_case4(v, alpha, tol, max_iter):
     return jnp.stack([px, py, z_out])
 
 
-def _project_pow_one(v, alpha, tol, max_iter):
+def _project_pow_one(v, alpha, tol, max_iter=20):
     case1 = pow_in_cone(v, alpha, 0.0)
     case2 = pow_in_dual(-v, alpha, 0.0)
     case3 = jnp.abs(v[2]) <= tol
@@ -206,10 +210,14 @@ def _project_pow_one(v, alpha, tol, max_iter):
     return jnp.where(case1, v, jnp.where(case2, jnp.zeros_like(v), jnp.where(case3, v3, v4)))
 
 
-def project_pow(V, alpha, is_dual, tol: float = 1e-8, max_iter: int = 20):
-    """Project rows of V [N,3] onto K_pow(alpha) (or its dual where is_dual)."""
+def project_pow(V, alpha, is_dual, tol=None, max_iter: int = 20):
+    """Project rows of V [N,3] onto K_pow(alpha) (or its dual where is_dual).
+    ``tol`` may be a per-row array (reference: PowerCone fields,
+    convexset.jl:626-640)."""
     if V.shape[0] == 0:
         return V
+    if tol is None:
+        tol = jnp.full(V.shape[0], 1e-8, V.dtype)
     U = jnp.where(is_dual[:, None], -V, V)
-    P = jax.vmap(partial(_project_pow_one, tol=tol, max_iter=max_iter))(U, alpha)
+    P = jax.vmap(partial(_project_pow_one, max_iter=max_iter))(U, alpha, tol)
     return jnp.where(is_dual[:, None], V + P, P)

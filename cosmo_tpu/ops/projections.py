@@ -100,12 +100,17 @@ def project(w2, cones: ConeData):
 
     if cones.exp.idx.shape[0] > 0:
         V = v_ext[cones.exp.idx]
-        P = exp_pow.project_exp(V, cones.exp.is_dual)
+        P = exp_pow.project_exp(
+            V, cones.exp.is_dual, cones.exp.tol, cones.exp.max_iter
+        )
         s = _ext(s).at[cones.exp.idx].set(P)[:-1]
 
     if cones.pow.idx.shape[0] > 0:
         V = v_ext[cones.pow.idx]
-        P = exp_pow.project_pow(V, cones.pow.alpha, cones.pow.is_dual)
+        P = exp_pow.project_pow(
+            V, cones.pow.alpha, cones.pow.is_dual, cones.pow.tol,
+            cones.pow.max_iter,
+        )
         s = _ext(s).at[cones.pow.idx].set(P)[:-1]
 
     for offset, cone in cones.custom:
