@@ -41,21 +41,14 @@ GEOMETRIC_SIZES = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
                    1024, 1536, 2048)
 
 
-def pad_side(r: int, psd_pad_to: int = 8) -> int:
-    """Padded side length for a PSD block of side r."""
-    if psd_pad_to <= 1:
+def pad_side(r: int, pad_to: int = 8) -> int:
+    """Padded length on the geometric ladder (multiple of ``pad_to``)."""
+    if pad_to <= 1:
         return r
     for sz in GEOMETRIC_SIZES:
-        if sz >= r and sz % psd_pad_to == 0:
+        if sz >= r and sz % pad_to == 0:
             return sz
-    return -(-r // psd_pad_to) * psd_pad_to
-
-
-def _next_pow2(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
+    return -(-r // pad_to) * pad_to
 
 
 @register_pytree_dataclass
@@ -186,7 +179,8 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             ub[rows] = cone.u
             box_mask[rows] = True
         elif isinstance(cone, C.SecondOrderCone):
-            soc_groups.setdefault(_next_pow2(d) if soc_pad_pow2 else d, []).append(offset)
+            pad = pad_side(d, 1 if not soc_pad_pow2 else 2)
+            soc_groups.setdefault(pad, []).append(offset)
             rect_mask[rows] = True
             rect_seg[rows] = n_rect
             n_rect += 1

@@ -208,3 +208,28 @@ def test_standard_transformation_square_psd():
     assert abs(r1.obj_val - r0.obj_val) < 1e-3
     Y = r1.y.reshape(n_nodes, n_nodes).T
     assert np.linalg.eigvalsh(0.5 * (Y + Y.T)).min() > -1e-3
+
+
+def test_standard_transformation_sparse_input():
+    """Agler mode with scipy-sparse problem data.
+
+    Note sparse=False: the Agler form's reduced KKT system carries the
+    rho_eq*1e3 equality block and is too ill-conditioned for the inexact CG
+    path (residual 1e-7 still leaves large error); the dense factor handles
+    it. The compact transformation (default) is the right partner for CG.
+    """
+    P, q, A, b, sets, L = problems.banded_sdp(n_nodes=16, bandwidth=3, seed=6,
+                                              sparse=True)
+    m1 = ct.Model(
+        ct.Settings(decompose=True, compact_transformation=False,
+                    sparse=False, eps_abs=1e-6, eps_rel=1e-6)
+    )
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert m1.is_decomposed and r1.status == "Solved"
+
+    m0 = ct.Model(ct.Settings(decompose=False, eps_abs=1e-6, eps_rel=1e-6,
+                              sparse=False))
+    m0.set(np.asarray(P.todense()), q, np.asarray(A.todense()), b, sets)
+    r0 = m0.optimize()
+    assert abs(r1.obj_val - r0.obj_val) < 1e-3
