@@ -381,34 +381,30 @@ class Model:
 # attached as a Model method below (kept separate for readability)
 def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
                    settings, t_start, dtype):
-    chunk = max(int(settings.check_termination) * 10, 250)
-    total = 0
-    sg_total = 0
-    out = None
-    x, s_, mu = x0d, s0d, mu0d
+    """Time-limited solve: run fixed-size chunks of the SAME compiled program
+    (``max_iter`` is a device scalar) and re-enter with the full loop carry,
+    so the iterate trajectory — rho state, accelerator history, CG warm
+    start, iteration counters — matches one uninterrupted solve
+    (reference behavior: Time_limit_reached, solver.jl:303-321)."""
+    chunk = max(int(settings.check_termination) * 10, 50)
+    limit = 0
+    carry = None
     while True:
-        this_chunk = min(chunk, int(settings.max_iter) - total)
-        st = static._replace(max_iter=this_chunk)
+        limit = min(limit + chunk, int(settings.max_iter))
         out = solver_mod.solve_jit(
-            Pd, Ad, qd, bd, cones, x, s_, mu, dyn, static=st
+            Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
+            dyn._replace(max_iter=np.asarray(limit, np.int32)),
+            static=static, carry_in=carry, return_carry=True,
         )
+        carry = out.pop("carry")
         status = int(out["status"])
-        total += int(out["iter"])
-        sg_total += int(out["safeguarding_iter"])
         elapsed = time.perf_counter() - t_start
-        if status != results_mod.MAX_ITER_REACHED or total >= settings.max_iter:
+        if status != results_mod.MAX_ITER_REACHED or limit >= settings.max_iter:
             break
         if elapsed > settings.time_limit:
             out = dict(out)
             out["status"] = np.asarray(results_mod.TIME_LIMIT_REACHED)
             break
-        # warm-start the next chunk from the current solution (y = -mu)
-        x = out["x"]
-        s_ = out["s"]
-        mu = -out["y"]
-    out = dict(out)
-    out["iter"] = np.asarray(total)
-    out["safeguarding_iter"] = np.asarray(sg_total)
     return out
 
 

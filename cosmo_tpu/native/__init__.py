@@ -32,10 +32,19 @@ def _load() -> Optional[ctypes.CDLL]:
             if (not os.path.exists(_LIB)) or (
                 os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
             ):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
-                    check=True, capture_output=True, timeout=120,
-                )
+                # compile to a per-process temp file and rename into place:
+                # os.rename is atomic, so a concurrent process either sees
+                # the old library or the complete new one, never a torn write
+                tmp = f"{_LIB}.{os.getpid()}.tmp"
+                try:
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                    os.rename(tmp, _LIB)
+                finally:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
             lib = ctypes.CDLL(_LIB)
             I64 = ctypes.POINTER(ctypes.c_int64)
             lib.min_degree.restype = ctypes.c_int64

@@ -135,6 +135,31 @@ class ConeData:
     custom: Tuple = static_field(default=())
 
 
+def resolve_eigh_backend(requested: str, buckets=None) -> str:
+    """The single source of truth for resolving an ``"auto"`` eigh backend.
+
+    Used by :func:`compile_cones` (which sees all PSD buckets) and by the
+    projection fallback for hand-built :class:`ConeData` (``buckets=None``,
+    which resolves conservatively). Off-TPU, LAPACK/XLA eigh always wins.
+    On TPU the Pallas Jacobi kernel is selected only for a *single* bucket of
+    side <= 16: the serial in-kernel rotation chain loses to the
+    Newton-Schulz polar projection for larger k, and programs mixing several
+    small-block kernel shapes have triggered TPU-worker kernel faults — the
+    polar path (pure batched matmuls) is the robust default.
+    """
+    if requested != "auto":
+        return requested
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if buckets is not None:
+        small = [b for b in buckets if b.side <= 48]
+        if len(small) == 1 and len(buckets) == 1 and small[0].side <= 16:
+            return "pallas"
+    return "polar"
+
+
 def _tri_index(i: int, j: int) -> int:
     """svec index of entry (i, j), i <= j, column-major upper triangle
     (reference packing order: src/convexset.jl:432-442)."""
@@ -406,24 +431,7 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             tol=np.zeros((0,), dtype),
         )
 
-    if eigh_backend == "auto":
-        import jax
-
-        if jax.default_backend() != "tpu":
-            eigh_backend = "xla"
-        else:
-            small = [b for b in psd_bucket_objs if b.side <= 48]
-            # Pallas Jacobi wins for a single bucket of short rotation
-            # chains (k <= 16); for larger k the serial in-kernel chain
-            # (k-1 rounds x sweeps x grid steps) loses to the Newton-Schulz
-            # polar projection, and programs mixing several small-block
-            # kernel shapes have triggered TPU-worker kernel faults with
-            # both rotation paths — polar (pure batched matmuls) is the
-            # robust default
-            if len(small) == 1 and small[0].side <= 16:
-                eigh_backend = "pallas"
-            else:
-                eigh_backend = "polar"
+    eigh_backend = resolve_eigh_backend(eigh_backend, psd_bucket_objs)
 
     return ConeData(
         m=m,

@@ -54,17 +54,12 @@ def _psd_gather(v_ext, bucket: PsdBucket):
 def _psd_project_bucket(X, cones: ConeData):
     """Batched PSD projection: eig + positive-part reconstruction
     (reference: convexset.jl:219-263). [B, k, k] -> [B, k, k]."""
-    import jax
+    from .conedata import resolve_eigh_backend
 
-    backend = cones.eigh_backend
-    k = X.shape[-1]
-    if backend == "auto":
-        if jax.default_backend() != "tpu":
-            backend = "xla"          # LAPACK eigh off-chip
-        elif k <= 48:
-            backend = "pallas"       # many small blocks: VMEM Jacobi kernel
-        else:
-            backend = "polar"        # large blocks: Newton-Schulz on the MXU
+    # "auto" is normally resolved once in compile_cones (which sees all
+    # buckets); direct callers with hand-built ConeData get the conservative
+    # resolution (never the Pallas kernel) from the same shared function
+    backend = resolve_eigh_backend(cones.eigh_backend)
     if backend == "polar":
         return eigh_mod.psd_project_polar(X)
     if backend == "pallas":
@@ -178,12 +173,18 @@ def in_pol_recc(v, cones: ConeData, tol):
         ok &= jnp.all(jnp.where(cones.pow.is_dual, dual, prim))
 
     for offset, cone in cones.custom:
-        if cone.in_pol_recc is None:
-            # unknown membership: conservatively fail the certificate
-            ok &= jnp.asarray(False)
-        else:
+        if cone.in_pol_recc is not None:
             v_c = lax.dynamic_slice(v, (offset,), (cone.dim,))
             ok &= cone.in_pol_recc(v_c, tol)
+        elif cone.in_dual is not None:
+            # for a cone K the polar recession cone is -K*, so membership
+            # reduces to the user's dual-cone test (reference: the per-cone
+            # in_pol_recc(v) = in_dual(-v) identities, src/convexset.jl)
+            v_c = lax.dynamic_slice(v, (offset,), (cone.dim,))
+            ok &= cone.in_dual(-v_c, tol)
+        else:
+            # unknown membership: conservatively fail the certificate
+            ok &= jnp.asarray(False)
 
     return ok
 
@@ -231,10 +232,15 @@ def support_function(y, cones: ConeData, tol):
 
     custom_sum = jnp.zeros((), dt)
     for offset, cone in cones.custom:
-        if cone.support is None:
-            ok &= jnp.asarray(False)
-        else:
+        if cone.support is not None:
             y_c = lax.dynamic_slice(y, (offset,), (cone.dim,))
             custom_sum = custom_sum + cone.support(y_c, tol)
+        elif cone.in_dual is not None:
+            # cone support is the 0 / +inf indicator of the polar:
+            # sup_{z in K} <z, y> = 0 iff -y in K*
+            y_c = lax.dynamic_slice(y, (offset,), (cone.dim,))
+            ok &= cone.in_dual(-y_c, tol)
+        else:
+            ok &= jnp.asarray(False)
 
     return jnp.where(ok, box_sum + custom_sum, inf)

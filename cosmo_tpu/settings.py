@@ -131,9 +131,13 @@ class Settings:
 
 
 class StaticConfig(NamedTuple):
-    """Hashable solve configuration — part of the jit cache key."""
+    """Hashable solve configuration — part of the jit cache key.
 
-    max_iter: int
+    ``max_iter`` lives in :class:`DynConfig` (a device scalar), so changing
+    the iteration limit — or re-entering a chunked time-limited solve —
+    never triggers a recompile.
+    """
+
     check_termination: int
     check_infeasibility: int
     scaling_iters: int
@@ -155,8 +159,10 @@ class StaticConfig(NamedTuple):
 
 
 class DynConfig(NamedTuple):
-    """Dynamic (device-scalar) solve parameters; same dtype as the problem."""
+    """Dynamic (device-scalar) solve parameters; same dtype as the problem
+    (``max_iter`` is int32)."""
 
+    max_iter: Any
     rho: Any
     sigma: Any
     alpha: Any
@@ -185,7 +191,6 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
     """Split user settings into (static, dynamic) solve configuration."""
     accel_mem = settings.accelerator_mem if settings.accelerator == "anderson" else 0
     static = StaticConfig(
-        max_iter=int(settings.max_iter),
         check_termination=int(settings.check_termination),
         check_infeasibility=int(settings.check_infeasibility),
         scaling_iters=int(settings.scaling),
@@ -211,6 +216,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
     )
     f = lambda x: np.asarray(x, dtype=dtype)
     dyn = DynConfig(
+        max_iter=np.asarray(settings.max_iter, dtype=np.int32),
         rho=f(settings.rho),
         sigma=f(settings.sigma),
         alpha=f(settings.alpha),

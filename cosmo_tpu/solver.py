@@ -85,9 +85,18 @@ def _classify_rows(cones, b, lb, ub, dyn):
     return cls
 
 
-def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
+def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
+          carry_in=None, return_carry: bool = False):
     """Full solve on device. All inputs are device arrays / pytrees; `static`
-    is hashable config. Wrap with jax.jit(static_argnums=(..,)) upstream."""
+    is hashable config. Wrap with jax.jit(static_argnums=(..,)) upstream.
+
+    ``carry_in``: a :class:`LoopCarry` from a previous ``return_carry=True``
+    solve of the *same program* — the loop resumes with the full solver state
+    (iterates, rho, accelerator history, CG warm start, iteration counters),
+    so a chunked time-limited solve follows the identical iterate trajectory
+    as one uninterrupted solve (reference behavior: solver.jl:303-321).
+    ``x0``/``s0``/``mu0`` are ignored on resume.
+    """
     m, n = static.m, static.n
     dtype = q.dtype
 
@@ -153,43 +162,50 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
     # ------------------------------------------------------------------
     # Initial state (solver.jl:125-138)
     # ------------------------------------------------------------------
-    w0 = jnp.concatenate([x, s0v + mu / rho_vec])
-    sol0 = jnp.zeros(n + m, dtype)
-    # initialisation half-step so iterates agree with standard ADMM
-    w0, sol0, kkt_it0 = admm_x_w(
-        w0, s0v, kkt_state, rho_vec, sol0, jnp.asarray(1, jnp.int32),
-        jnp.asarray(jnp.inf, dtype),
-    )
-
-    big = jnp.asarray(jnp.inf, dtype)
-    res0 = res_ops.ResInfo(big, big, jnp.zeros((), dtype), jnp.zeros((), dtype))
-
-    if static.accel_mem > 0:
-        aa0 = accel.init_accel(n + m, static.accel_mem, dtype)
+    if carry_in is not None:
+        # resume a chunked solve with the full solver state; only the status
+        # flag is reset so the loop re-enters
+        carry0 = carry_in._replace(
+            status=jnp.asarray(results.UNDETERMINED, jnp.int32)
+        )
     else:
-        aa0 = ()
+        w0 = jnp.concatenate([x, s0v + mu / rho_vec])
+        sol0 = jnp.zeros(n + m, dtype)
+        # initialisation half-step so iterates agree with standard ADMM
+        w0, sol0, kkt_it0 = admm_x_w(
+            w0, s0v, kkt_state, rho_vec, sol0, jnp.asarray(1, jnp.int32),
+            jnp.asarray(jnp.inf, dtype),
+        )
 
-    carry0 = LoopCarry(
-        w=w0, w_prev=w0, s=s0v,
-        iter=jnp.zeros((), jnp.int32),
-        sg_iter=jnp.zeros((), jnp.int32),
-        status=jnp.asarray(results.UNDETERMINED, jnp.int32),
-        cost=big,
-        res=res0,
-        rho=rho,
-        rho_vec=rho_vec,
-        kkt=kkt_state,
-        sol=sol0,
-        dx=jnp.zeros(n, dtype),
-        dy=jnp.zeros(m, dtype),
-        infeas_due=jnp.asarray(False),
-        rho_due=jnp.asarray(False),
-        redo=jnp.asarray(False),
-        kkt_iters=kkt_it0,
-        n_rho_adapt=jnp.zeros((), jnp.int32),
-        rho_log=rho_log,
-        aa=aa0,
-    )
+        big = jnp.asarray(jnp.inf, dtype)
+        res0 = res_ops.ResInfo(big, big, jnp.zeros((), dtype), jnp.zeros((), dtype))
+
+        if static.accel_mem > 0:
+            aa0 = accel.init_accel(n + m, static.accel_mem, dtype)
+        else:
+            aa0 = ()
+
+        carry0 = LoopCarry(
+            w=w0, w_prev=w0, s=s0v,
+            iter=jnp.zeros((), jnp.int32),
+            sg_iter=jnp.zeros((), jnp.int32),
+            status=jnp.asarray(results.UNDETERMINED, jnp.int32),
+            cost=big,
+            res=res0,
+            rho=rho,
+            rho_vec=rho_vec,
+            kkt=kkt_state,
+            sol=sol0,
+            dx=jnp.zeros(n, dtype),
+            dy=jnp.zeros(m, dtype),
+            infeas_due=jnp.asarray(False),
+            rho_due=jnp.asarray(False),
+            redo=jnp.asarray(False),
+            kkt_iters=kkt_it0,
+            n_rho_adapt=jnp.zeros((), jnp.int32),
+            rho_log=rho_log,
+            aa=aa0,
+        )
 
     # ------------------------------------------------------------------
     # rho adaptation (reference: solver.jl:242-282, parameters.jl:53-92)
@@ -406,8 +422,12 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         return c
 
     def cond(c: LoopCarry):
+        # `| c.redo`: a safeguard-declined step always gets its plain-ADMM
+        # replay before the loop can exit, so the returned iterate is never
+        # the rejected accelerated candidate (at most one extra pass — the
+        # replay itself clears the flag and cannot re-set it)
         return (c.status == results.UNDETERMINED) & (
-            c.iter + c.sg_iter < static.max_iter
+            (c.iter + c.sg_iter < dyn.max_iter) | c.redo
         )
 
     c = lax.while_loop(cond, body, carry0)
@@ -440,7 +460,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
     x_out, mu_out, s_out = scaling_ops.unscale_variables(x_final, mu_final, c.s, sm)
     y_out = -mu_out
 
-    return dict(
+    out = dict(
         x=x_out,
         y=y_out,
         s=s_out,
@@ -457,7 +477,10 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig):
         rho_log=c.rho_log,
         n_accelerated=(c.aa.n_accelerated if static.accel_mem > 0 else jnp.zeros((), jnp.int32)),
     )
+    if return_carry:
+        out["carry"] = c
+    return out
 
 
 # jitted entry: cones is a pytree arg; static config is hashable
-solve_jit = jax.jit(solve, static_argnames=("static",))
+solve_jit = jax.jit(solve, static_argnames=("static", "return_carry"))

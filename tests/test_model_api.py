@@ -104,6 +104,31 @@ def test_time_limit_status():
     assert res.status in ("Time_limit_reached", "Solved")
 
 
+def test_chunked_solve_matches_unchunked_trajectory():
+    """A chunked (time-limited) solve re-enters with the full loop carry, so
+    it must land on the same iterate trajectory — identical x/iteration count
+    — as one uninterrupted solve (reference: solver.jl:303-321)."""
+    P, q, A, b, sets = _qp()
+    plain = ct.Model(ct.Settings(eps_abs=1e-9, eps_rel=1e-9, check_termination=5))
+    plain.set(P, q, A, b, sets)
+    r_plain = plain.optimize()
+
+    chunked = ct.Model(
+        # check_termination=5 -> tiny 50-iteration chunks force several
+        # re-entries; the huge budget means the limit itself never triggers
+        ct.Settings(eps_abs=1e-9, eps_rel=1e-9, time_limit=3600.0,
+                    check_termination=5)
+    )
+    chunked.set(P, q, A, b, sets)
+    r_chunked = chunked.optimize()
+
+    assert r_chunked.status == "Solved"
+    assert r_chunked.iter == r_plain.iter
+    assert np.array_equal(r_chunked.x, r_plain.x)
+    # inner KKT iterations must accumulate across chunks, not reset
+    assert r_chunked.info.kkt_solver_iters == r_plain.info.kkt_solver_iters
+
+
 def test_nonconvex_P_flagged_unsolved():
     """Indefinite P breaks the Cholesky factor; the solver must surface
     Unsolved instead of returning NaNs (reference analog: the QDLDL inertia
