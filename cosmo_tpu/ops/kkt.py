@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import df32
 from .linops import diag_AtRhoA, diag_part, matvec, rmatvec
 
 
@@ -40,12 +41,32 @@ def dense_factor(P, A, sigma, rho_vec) -> DenseKKTState:
     return DenseKKTState(L=jnp.linalg.cholesky(M))
 
 
-def dense_solve(state: DenseKKTState, A, rho_vec, r1, r2):
-    """Solve the KKT system via the cached factor. Returns (x_tilde, nu)."""
-    t = r1 + A.T @ (rho_vec * r2)
-    y = jax.scipy.linalg.solve_triangular(state.L, t, lower=True)
-    x = jax.scipy.linalg.solve_triangular(state.L.T, y, lower=False)
-    nu = rho_vec * (A @ x - r2)
+def _chol_solve(L, t):
+    y = jax.scipy.linalg.solve_triangular(L, t, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def dense_solve(state: DenseKKTState, P, A, sigma, rho_vec, r1, r2,
+                refine_steps: int = 0):
+    """Solve the KKT system via the cached factor. Returns (x_tilde, nu).
+
+    ``refine_steps`` > 0 runs that many iterative-refinement corrections
+    with the residual computed in compensated double-f32 arithmetic against
+    the exact P/A/rho data (ops/df32.py): the forward error drops from
+    kappa(M)*eps — a hard ~1e-3..1e-4 ADMM floor in f32 — to the f32
+    representation floor.  In f64 the plain solve is already accurate
+    (refine_steps=0, reference parity: QDLDL runs in f64).
+    """
+    if refine_steps <= 0:
+        t = r1 + rmatvec(A, rho_vec * r2)
+        x = _chol_solve(state.L, t)
+    else:
+        t_pair = df32.kkt_rhs2(A, rho_vec, r1, r2)
+        x = _chol_solve(state.L, t_pair[0])
+        for _ in range(refine_steps):
+            r = df32.kkt_residual(P, A, sigma, rho_vec, t_pair, x)
+            x = x + _chol_solve(state.L, r)
+    nu = rho_vec * (matvec(A, x) - r2)
     return x, nu
 
 
@@ -57,73 +78,113 @@ def _reduced_matvec(P, A, sigma, rho_vec, v):
     return matvec(P, v) + sigma * v + rmatvec(A, rho_vec * matvec(A, v))
 
 
-def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, tol, max_iter: int):
+def _cg_target(t, sched, res_min):
+    """Absolute CG/MINRES residual target.
+
+    Reference semantics (kktsolver_indirect.jl:70 — ``abstol =
+    get_tolerance(S)/norm(y1)``): the absolute target *shrinks* as the rhs
+    norm grows, because the x-error that matters to ADMM is ~||M^-1|| times
+    the absolute KKT residual and rho_eq-weighted rows inflate ||t|| by 1e3.
+    (Round 1 multiplied by ||t|| instead — that single sign-of-scaling flip
+    stalled every adaptive-rho CG solve around 5e-5, in f64 too.)
+
+    Additionally tightened to a tenth of the current ADMM residual so inexact
+    solves track the outer iteration, and floored at the finite-precision
+    attainable level ~eps*||t|| (with compensated restarts the true residual
+    reaches a small multiple of it).
+    """
+    eps_m = jnp.asarray(jnp.finfo(t.dtype).eps, t.dtype)
+    tnorm = jnp.linalg.norm(t)
+    tgt = jnp.minimum(sched / jnp.maximum(tnorm, 1e-30), 0.1 * res_min)
+    # 0.25*eps*||t||: slightly below the single-sweep stagnation level, so
+    # the compensated restarts keep polishing the small-eigenspace error
+    # instead of exiting on a floored fresh residual (measured: 1.0*eps
+    # stalls the outer ADMM at ~1e-5; 0.25 solves to 1e-6 at ~2 CG
+    # iterations per ADMM iteration)
+    return jnp.maximum(tgt, 0.25 * eps_m * tnorm)
+
+
+def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, sched, res_min, max_iter: int,
+             refine_steps: int = 0):
     """Preconditioned CG on M x = r1 + A'(rho r2), warm-started at x0.
 
     Jacobi preconditioner diag(M); fixed-shape lax.while_loop with early
     exit on the residual norm. Returns (x_tilde, nu, cg_iters).
+
+    ``refine_steps`` > 0 adds that many compensated-residual restarts
+    (ops/df32.py): finite-precision CG's *true* residual stagnates at
+    ~kappa(M)*eps*||t|| however far the recursive residual drops; restarting
+    from a double-f32 residual of the exact P/A/rho data resets the drift,
+    so f32 solves reach targets the plain recurrence cannot.  All sweeps
+    share one ``max_iter`` budget, and a restart whose fresh residual
+    already meets the target costs no iterations.
     """
-    t = r1 + rmatvec(A, rho_vec * r2)
+    if refine_steps > 0:
+        t_pair = df32.kkt_rhs2(A, rho_vec, r1, r2)
+        t = df32.to_f32(t_pair)
+    else:
+        t = r1 + rmatvec(A, rho_vec * r2)
     dinv = 1.0 / (diag_part(P) + sigma + diag_AtRhoA(A, rho_vec))
 
     def mv(v):
         return _reduced_matvec(P, A, sigma, rho_vec, v)
 
-    r = t - mv(x0)
-    z = dinv * r
-    p = r * 0.0 + z
-    rz = jnp.dot(r, z)
-    # absolute tolerance relative to ||t||, as in IterativeSolvers' reltol
-    target = tol * jnp.maximum(jnp.linalg.norm(t), 1e-30)
+    target = _cg_target(t, sched, res_min)
 
-    def cond(st):
-        k, x, r, p, rz = st
-        return (jnp.linalg.norm(r) > target) & (k < max_iter)
-
-    def body(st):
-        k, x, r, p, rz = st
-        Ap = mv(p)
-        alpha = rz / jnp.dot(p, Ap)
-        x = x + alpha * p
-        r = r - alpha * Ap
+    def sweep(x, r, k):
         z = dinv * r
-        rz_new = jnp.dot(r, z)
-        beta = rz_new / rz
-        p = z + beta * p
-        return k + 1, x, r, p, rz_new
+        p = z
+        rz = jnp.dot(r, z)
 
-    k, x, _, _, _ = lax.while_loop(cond, body, (0, x0, r, p, rz))
+        def cond(st):
+            k, x, r, p, rz = st
+            return (jnp.linalg.norm(r) > target) & (k < max_iter)
+
+        def body(st):
+            k, x, r, p, rz = st
+            Ap = mv(p)
+            alpha = rz / jnp.dot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = dinv * r
+            rz_new = jnp.dot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return k + 1, x, r, p, rz_new
+
+        k, x, r, _, _ = lax.while_loop(cond, body, (k, x, r, p, rz))
+        return x, k
+
+    if refine_steps > 0:
+        x, k = x0, 0
+        for _ in range(refine_steps + 1):
+            r = df32.kkt_residual(P, A, sigma, rho_vec, t_pair, x)
+            x, k = sweep(x, r, k)
+    else:
+        x, k = sweep(x0, t - mv(x0), 0)
     nu = rho_vec * (matvec(A, x) - r2)
     return x, nu, k
 
 
-def minres_solve(P, A, sigma, rho_vec, r1, r2, x0, tol, max_iter: int):
+def minres_solve(P, A, sigma, rho_vec, r1, r2, x0, sched, res_min, max_iter: int,
+                 refine_steps: int = 0):
     """MINRES on the reduced system M x = r1 + A'(rho r2), warm-started at
     x0 (reference: IndirectKKTSolver / MINRESIndirectKKTSolver,
     kktsolver_indirect.jl:123-189). Jittable Lanczos + Givens recurrence
-    with a fixed-shape while_loop. Returns (x_tilde, nu, iters)."""
-    t = r1 + rmatvec(A, rho_vec * r2)
+    with a fixed-shape while_loop. Returns (x_tilde, nu, iters).
+
+    ``refine_steps`` > 0: compensated-residual restarts, as in
+    :func:`cg_solve`."""
+    if refine_steps > 0:
+        t_pair = df32.kkt_rhs2(A, rho_vec, r1, r2)
+        t = df32.to_f32(t_pair)
+    else:
+        t = r1 + rmatvec(A, rho_vec * r2)
 
     def mv(v):
         return _reduced_matvec(P, A, sigma, rho_vec, v)
 
-    r0 = t - mv(x0)
-    beta1 = jnp.linalg.norm(r0)
-    safe_beta1 = jnp.maximum(beta1, 1e-30)
-    target = tol * jnp.maximum(jnp.linalg.norm(t), 1e-30)
-
-    # state: (k, x, v_prev, v, beta, eta, gamma in two stages, w_prev, w_pprev, resid)
-    v = r0 / safe_beta1
-    vp = jnp.zeros_like(v)
-    w = jnp.zeros_like(v)
-    wp = jnp.zeros_like(v)
-    state = (
-        jnp.asarray(0, jnp.int32), x0, vp, v, safe_beta1,
-        safe_beta1,                      # eta (rhs of the rotated system)
-        jnp.ones((), t.dtype), jnp.zeros((), t.dtype),   # c_old, s_old
-        jnp.ones((), t.dtype), jnp.zeros((), t.dtype),   # c, s
-        wp, w, beta1,
-    )
+    target = _cg_target(t, sched, res_min)
 
     def cond(st):
         k, x, *_, resid = st
@@ -156,19 +217,38 @@ def minres_solve(P, A, sigma, rho_vec, r1, r2, x0, tol, max_iter: int):
             c, s, c_new, s_new, w, w_new, jnp.abs(eta_new),
         )
 
-    st = lax.while_loop(cond, body, state)
-    k, x = st[0], st[1]
+    def sweep(x, r0, k):
+        beta1 = jnp.linalg.norm(r0)
+        safe_beta1 = jnp.maximum(beta1, 1e-30)
+        v = r0 / safe_beta1
+        vp = jnp.zeros_like(v)
+        w = jnp.zeros_like(v)
+        wp = jnp.zeros_like(v)
+        state = (
+            jnp.asarray(k, jnp.int32), x, vp, v, safe_beta1,
+            safe_beta1,                      # eta (rhs of the rotated system)
+            jnp.ones((), t.dtype), jnp.zeros((), t.dtype),   # c_old, s_old
+            jnp.ones((), t.dtype), jnp.zeros((), t.dtype),   # c, s
+            wp, w, beta1,
+        )
+        st = lax.while_loop(cond, body, state)
+        return st[1], st[0]
+
+    if refine_steps > 0:
+        x, k = x0, 0
+        for _ in range(refine_steps + 1):
+            r0 = df32.kkt_residual(P, A, sigma, rho_vec, t_pair, x)
+            x, k = sweep(x, r0, k)
+    else:
+        x, k = sweep(x0, t - mv(x0), 0)
     nu = rho_vec * (matvec(A, x) - r2)
     return x, nu, k
 
 
-def cg_tolerance(admm_iter, res_min, dyn):
-    """Adaptive decreasing tolerance: the reference schedule c/iter^e
-    (kktsolver_indirect.jl:168-170) additionally tightened to a tenth of the
-    current ADMM residual and floored at a tenth of the target tolerance —
-    inexact solves then track the outer iteration instead of stalling it.
+def cg_tolerance(admm_iter, dyn):
+    """The reference's decreasing tolerance schedule c/iter^e
+    (kktsolver_indirect.jl:168-170); combined with the rhs norm and the
+    current ADMM residual into an absolute target by :func:`_cg_target`.
     """
     it = jnp.maximum(admm_iter, 1).astype(dyn.kkt_cg_tol_constant.dtype)
-    sched = dyn.kkt_cg_tol_constant / (it ** dyn.kkt_cg_tol_exponent)
-    floor = jnp.maximum(0.1 * jnp.minimum(dyn.eps_abs, dyn.eps_rel), 1e-10)
-    return jnp.maximum(jnp.minimum(sched, 0.1 * res_min), floor)
+    return dyn.kkt_cg_tol_constant / (it ** dyn.kkt_cg_tol_exponent)

@@ -111,11 +111,20 @@ def rmatvec(A, y):
 # ----------------------------------------------------------------------
 
 def colmax_abs(A):
-    """max_i |A_ij| per column j."""
+    """max_i |A_ij| per column j.
+
+    Empty columns give 0, matching the dense semantics: segment_max fills
+    empty segments with -inf, which would otherwise poison the Ruiz cost
+    scaling (mean over column norms) for any sparse matrix with structurally
+    empty columns — e.g. P = 0 in dual-form SDPs.
+    """
     if isinstance(A, Coo):
-        return jax.ops.segment_max(
-            jnp.abs(A.cvals), A.ccols, num_segments=A.n,
-            indices_are_sorted=True,
+        return jnp.maximum(
+            jax.ops.segment_max(
+                jnp.abs(A.cvals), A.ccols, num_segments=A.n,
+                indices_are_sorted=True,
+            ),
+            0.0,
         )
     if A.shape[0] == 0:
         return jnp.zeros(A.shape[1], A.dtype)
@@ -123,11 +132,14 @@ def colmax_abs(A):
 
 
 def rowmax_abs(A):
-    """max_j |A_ij| per row i."""
+    """max_j |A_ij| per row i (0 for empty rows, as for dense)."""
     if isinstance(A, Coo):
-        return jax.ops.segment_max(
-            jnp.abs(A.vals), A.rows, num_segments=A.m,
-            indices_are_sorted=True,
+        return jnp.maximum(
+            jax.ops.segment_max(
+                jnp.abs(A.vals), A.rows, num_segments=A.m,
+                indices_are_sorted=True,
+            ),
+            0.0,
         )
     if A.shape[1] == 0:
         return jnp.zeros(A.shape[0], A.dtype)

@@ -90,6 +90,12 @@ class Settings:
     kkt_cg_tol_constant: float = 1e-2
     kkt_cg_tol_exponent: float = 1.5
     kkt_cg_max_iter: int = 250
+    # Iterative-refinement steps for the KKT solve with the residual in
+    # compensated double-f32 arithmetic (ops/df32.py). -1 = auto: 1 in f32
+    # (the kappa*eps forward error otherwise floors ADMM around 1e-3..1e-4),
+    # 0 in f64. Applies to the dense Cholesky solve and as
+    # compensated-residual restarts to CG/MINRES.
+    kkt_refine_steps: int = -1
     # --- TPU-specific knobs (no reference equivalent) ---
     # Problem-matrix representation: "auto" keeps scipy-sparse inputs sparse
     # (COO segment-sum matvecs + matrix-free CG KKT); True forces sparse;
@@ -147,6 +153,7 @@ class StaticConfig(NamedTuple):
     infeas_enabled: bool
     kkt_solver: str
     kkt_cg_max_iter: int
+    kkt_refine_steps: int
     accel_mem: int                 # 0 disables acceleration
     accel_activation: str
     accel_memory: str
@@ -204,6 +211,10 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
         ),
         kkt_solver=settings.kkt_solver,
         kkt_cg_max_iter=int(settings.kkt_cg_max_iter),
+        kkt_refine_steps=(
+            int(settings.kkt_refine_steps) if settings.kkt_refine_steps >= 0
+            else (1 if np.dtype(dtype) == np.float32 else 0)
+        ),
         accel_mem=int(accel_mem),
         accel_activation=settings.accelerator_activation,
         accel_memory=settings.accelerator_memory,

@@ -130,18 +130,21 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     # ------------------------------------------------------------------
     def kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min):
         if use_dense:
-            xt, nu = kkt_ops.dense_solve(kkt_state, A, rho_vec, r1, r2)
+            xt, nu = kkt_ops.dense_solve(
+                kkt_state, P, A, dyn.sigma, rho_vec, r1, r2,
+                static.kkt_refine_steps,
+            )
             k = jnp.zeros((), jnp.int32)
         else:
-            tol = kkt_ops.cg_tolerance(admm_iter, res_min, dyn)
+            sched = kkt_ops.cg_tolerance(admm_iter, dyn)
             solve_fn = (
                 kkt_ops.minres_solve
                 if static.kkt_solver == KKT_MINRES
                 else kkt_ops.cg_solve
             )
             xt, nu, k = solve_fn(
-                P, A, dyn.sigma, rho_vec, r1, r2, sol_prev[:n], tol,
-                static.kkt_cg_max_iter,
+                P, A, dyn.sigma, rho_vec, r1, r2, sol_prev[:n], sched, res_min,
+                static.kkt_cg_max_iter, static.kkt_refine_steps,
             )
         return xt, nu, jnp.asarray(k, jnp.int32)
 

@@ -85,7 +85,8 @@ def test_indirect_kkt_matches_dense(solver):
     fn = kkt_ops.minres_solve if solver == "minres" else kkt_ops.cg_solve
     x, nu, k = fn(
         jnp.asarray(P), jnp.asarray(A), sigma, jnp.asarray(rho),
-        jnp.asarray(r1), jnp.asarray(r2), jnp.zeros(n), 1e-12, 1000,
+        jnp.asarray(r1), jnp.asarray(r2), jnp.zeros(n),
+        jnp.asarray(1e-12), jnp.asarray(np.inf), 1000,
     )
     assert np.abs(np.asarray(x) - x_ref).max() < 1e-7
     assert np.abs(np.asarray(nu) - nu_ref).max() < 1e-6
