@@ -242,7 +242,15 @@ class Model:
         return self
 
     # -- solve -----------------------------------------------------------
-    def optimize(self) -> results_mod.Result:
+    def optimize(self, mesh=None) -> results_mod.Result:
+        """Solve the assembled problem.
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` (1-D); the problem data —
+        dense or sparse — is sharded over it (rows/cone-blocks/nnz) and the
+        single jitted solve runs SPMD with GSPMD-inserted collectives
+        (cosmo_tpu.parallel). The result is bit-identical to the
+        single-device solve.
+        """
         if not self.is_assembled:
             raise RuntimeError(
                 "The model has to be assembled/set before optimize() can be called."
@@ -305,6 +313,14 @@ class Model:
         x0d = jnp.asarray(x0, dtype)
         s0d = jnp.asarray(s0, dtype)
         mu0d = jnp.asarray(mu0, dtype)
+
+        if mesh is not None:
+            from .. import parallel
+
+            Pd, Ad, qd, bd, cones = parallel.shard_problem(
+                mesh, Pd, Ad, qd, bd, cones
+            )
+            x0d, s0d, mu0d = parallel.shard_vectors(mesh, x0d, s0d, mu0d)
         times.setup_time = time.perf_counter() - t_setup
 
         if settings.verbose:

@@ -1,3 +1,17 @@
-from .mesh import BLOCK_AXIS, make_mesh, shard_cones, shard_problem
+from .mesh import (
+    BLOCK_AXIS,
+    make_mesh,
+    shard_cones,
+    shard_coo,
+    shard_problem,
+    shard_vectors,
+)
 
-__all__ = ["BLOCK_AXIS", "make_mesh", "shard_cones", "shard_problem"]
+__all__ = [
+    "BLOCK_AXIS",
+    "make_mesh",
+    "shard_cones",
+    "shard_coo",
+    "shard_problem",
+    "shard_vectors",
+]

@@ -45,48 +45,79 @@ def _put(x, sharding):
     return jax.device_put(x, sharding)
 
 
+def _pad_batch(arr, d: int, fill):
+    """Pad the leading (batch) dim of ``arr`` up to a multiple of ``d``."""
+    import jax.numpy as jnp
+
+    b = arr.shape[0]
+    pad = (-b) % d
+    if pad == 0:
+        return arr
+    shape = (pad,) + arr.shape[1:]
+    return jnp.concatenate([arr, jnp.full(shape, fill, arr.dtype)], axis=0)
+
+
+def _row_put(x, mesh: Mesh, axis: str):
+    """Shard a row-indexed [m, ...] array if m divides the mesh, else
+    replicate it (the per-row clip/masks are cheap; the heavy work — cone
+    buckets and matvecs — is padded to shard exactly)."""
+    n_dev = mesh.shape[axis]
+    if x.shape[0] % n_dev == 0:
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return _put(x, NamedSharding(mesh, spec))
+    return _put(x, NamedSharding(mesh, P()))
+
+
 def shard_cones(mesh: Mesh, cones, axis: str = BLOCK_AXIS):
-    """Device-put the batched cone data with block-parallel shardings."""
+    """Device-put the batched cone data with block-parallel shardings.
+
+    Bucket batch dims that don't divide the device count are padded with
+    dump-slot blocks (gather the zero dump entry with scale 0, scatter back
+    to the dump slot) — exact no-ops, so uneven clique counts shard without
+    changing results.
+    """
     batch = NamedSharding(mesh, P(axis))
     batch2 = NamedSharding(mesh, P(axis, None))
     batch3 = NamedSharding(mesh, P(axis, None, None))
-    rep = NamedSharding(mesh, P())
+    d = mesh.shape[axis]
+    DUMP = cones.m
 
     soc = tuple(
-        dataclasses.replace(bkt, idx=_put(bkt.idx, batch2))
+        dataclasses.replace(bkt, idx=_put(_pad_batch(bkt.idx, d, DUMP), batch2))
         for bkt in cones.soc_buckets
     )
     psd = tuple(
         dataclasses.replace(
             bkt,
-            gather_idx=_put(bkt.gather_idx, batch3),
-            gather_scale=_put(bkt.gather_scale, batch3),
-            scatter_idx=_put(bkt.scatter_idx, batch3),
-            scatter_scale=_put(bkt.scatter_scale, batch3),
+            gather_idx=_put(_pad_batch(bkt.gather_idx, d, DUMP), batch3),
+            gather_scale=_put(_pad_batch(bkt.gather_scale, d, 0), batch3),
+            scatter_idx=_put(_pad_batch(bkt.scatter_idx, d, DUMP), batch3),
+            scatter_scale=_put(_pad_batch(bkt.scatter_scale, d, 0), batch3),
         )
         for bkt in cones.psd_buckets
     )
     exp = dataclasses.replace(
         cones.exp,
-        idx=_put(cones.exp.idx, batch2),
-        is_dual=_put(cones.exp.is_dual, batch),
+        idx=_put(_pad_batch(cones.exp.idx, d, DUMP), batch2),
+        is_dual=_put(_pad_batch(cones.exp.is_dual, d, False), batch),
+        tol=_put(_pad_batch(cones.exp.tol, d, 1e-8), batch),
     )
     pw = dataclasses.replace(
         cones.pow,
-        idx=_put(cones.pow.idx, batch2),
-        alpha=_put(cones.pow.alpha, batch),
-        is_dual=_put(cones.pow.is_dual, batch),
+        idx=_put(_pad_batch(cones.pow.idx, d, DUMP), batch2),
+        alpha=_put(_pad_batch(cones.pow.alpha, d, 0.5), batch),
+        is_dual=_put(_pad_batch(cones.pow.is_dual, d, False), batch),
+        tol=_put(_pad_batch(cones.pow.tol, d, 1e-8), batch),
     )
-    row = NamedSharding(mesh, P(axis))
     return dataclasses.replace(
         cones,
-        lb=_put(cones.lb, row),
-        ub=_put(cones.ub, row),
-        eq_mask=_put(cones.eq_mask, row),
-        nonneg_mask=_put(cones.nonneg_mask, row),
-        box_mask=_put(cones.box_mask, row),
-        rect_mask=_put(cones.rect_mask, row),
-        rect_seg=_put(cones.rect_seg, row),
+        lb=_row_put(cones.lb, mesh, axis),
+        ub=_row_put(cones.ub, mesh, axis),
+        eq_mask=_row_put(cones.eq_mask, mesh, axis),
+        nonneg_mask=_row_put(cones.nonneg_mask, mesh, axis),
+        box_mask=_row_put(cones.box_mask, mesh, axis),
+        rect_mask=_row_put(cones.rect_mask, mesh, axis),
+        rect_seg=_row_put(cones.rect_seg, mesh, axis),
         soc_buckets=soc,
         psd_buckets=psd,
         exp=exp,
@@ -94,20 +125,101 @@ def shard_cones(mesh: Mesh, cones, axis: str = BLOCK_AXIS):
     )
 
 
+def shard_coo(mesh: Mesh, A, axis: str = BLOCK_AXIS):
+    """Shard a :class:`~cosmo_tpu.ops.linops.Coo` over the mesh.
+
+    Both triplet permutations are sharded along the nnz axis: every matvec
+    then computes per-device partial segment sums over its local triplet
+    chunk and GSPMD inserts the all-reduce that combines the partials into
+    the (row- or replicated-) sharded output — the SPMD analog of the
+    reference's matrix-free reduced-system products
+    (kktsolver_indirect.jl:36-88).  Because the row-sorted copy is laid out
+    contiguously, each device's chunk touches a contiguous row range, which
+    keeps the partial outputs bandwidth-friendly.
+    """
+    nnz = NamedSharding(mesh, P(axis))
+    d = mesh.shape[axis]
+    r, c, v = _align_triplets(np.asarray(A.rows), np.asarray(A.cols),
+                              np.asarray(A.vals), d)
+    cc, cr, cv = _align_triplets(np.asarray(A.ccols), np.asarray(A.crows),
+                                 np.asarray(A.cvals), d)
+    return dataclasses.replace(
+        A,
+        rows=_put(r, nnz), cols=_put(c, nnz), vals=_put(v, nnz),
+        crows=_put(cr, nnz), ccols=_put(cc, nnz), cvals=_put(cv, nnz),
+    )
+
+
+def _align_triplets(key, other, vals, d: int):
+    """Pad sorted COO triplets so each of the ``d`` equal nnz chunks covers
+    only whole segments of ``key`` (rows for the row-sorted copy, columns
+    for the col-sorted one).
+
+    With segment-aligned chunks every output entry of the segment-sum matvec
+    is computed *entirely* on one device — the other devices contribute
+    exact IEEE zeros, so the GSPMD all-reduce that combines the partials is
+    bit-exact regardless of reduction order: the sharded solve follows the
+    single-device trajectory bit for bit (and the scatter-adds stay local to
+    a contiguous segment range per device).  Fillers repeat the chunk's last
+    key with value 0, preserving global sortedness.
+    """
+    nnz = key.shape[0]
+    if nnz == 0:
+        return key, other, vals
+    # chunk boundaries snapped down to segment starts
+    change = np.flatnonzero(np.diff(key)) + 1          # positions where key changes
+    bounds = [0]
+    for k in range(1, d):
+        ideal = k * nnz // d
+        # largest segment start <= ideal (0 if none)
+        i = np.searchsorted(change, ideal, side="right") - 1
+        snap = int(change[i]) if i >= 0 else 0
+        bounds.append(max(snap, bounds[-1]))
+    bounds.append(nnz)
+    L = max(bounds[i + 1] - bounds[i] for i in range(d))
+    ko = np.empty(d * L, key.dtype)
+    oo = np.zeros(d * L, other.dtype)
+    vo = np.zeros(d * L, vals.dtype)
+    for i in range(d):
+        s, e = bounds[i], bounds[i + 1]
+        n_i = e - s
+        ko[i * L : i * L + n_i] = key[s:e]
+        oo[i * L : i * L + n_i] = other[s:e]
+        vo[i * L : i * L + n_i] = vals[s:e]
+        fill_key = key[e - 1] if n_i > 0 else (key[s - 1] if s > 0 else 0)
+        ko[i * L + n_i : (i + 1) * L] = fill_key
+    return ko, oo, vo
+
+
 def shard_problem(mesh: Mesh, P_mat, A, q, b, cones, axis: str = BLOCK_AXIS):
     """Shard the problem data over the mesh.
 
     ``A``/``b`` row-sharded (constraint-parallel); ``P``/``q`` replicated
     (the x-space is the consensus space — small after decomposition);
-    cone stacks block-sharded.
+    cone stacks block-sharded.  Sparse ``A``/``P`` (:class:`Coo`) shard
+    their triplet arrays along nnz (:func:`shard_coo`).
     """
-    row = NamedSharding(mesh, P(axis))
-    row2 = NamedSharding(mesh, P(axis, None))
+    from ..ops.linops import Coo
+
+    rep = NamedSharding(mesh, P())
+    A_s = shard_coo(mesh, A, axis) if isinstance(A, Coo) else _row_put(A, mesh, axis)
+    # P couples only the consensus space: replicate (dense) / keep triplets
+    # replicated (sparse) — it is small or empty after decomposition
+    P_s = _put(P_mat, rep) if not isinstance(P_mat, Coo) else P_mat
+    return (
+        P_s,
+        A_s,
+        _put(q, rep),
+        _row_put(b, mesh, axis),
+        shard_cones(mesh, cones, axis),
+    )
+
+
+def shard_vectors(mesh: Mesh, x0, s0, mu0, axis: str = BLOCK_AXIS):
+    """Shard warm-start vectors consistently with :func:`shard_problem`."""
     rep = NamedSharding(mesh, P())
     return (
-        _put(P_mat, rep),
-        _put(A, row2),
-        _put(q, rep),
-        _put(b, row),
-        shard_cones(mesh, cones, axis),
+        _put(x0, rep),
+        _row_put(s0, mesh, axis),
+        _row_put(mu0, mesh, axis),
     )
