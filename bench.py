@@ -1,15 +1,27 @@
-"""Benchmark: ADMM iterations/s on a block-structured SDP (decomposed-SDP shape).
+"""Benchmark: ADMM throughput + roofline accounting on three shapes.
 
-Workload: 512 PSD triangle blocks of side 16 coupled through n=512 variables
-(the shape of a chordally decomposed SDP — the reference's headline
-mechanism, SURVEY.md §2.14-2.17). Metric is raw ADMM iterations/s of the
-jitted TPU solve.
+Shapes (the decomposed-SDP spectrum, SURVEY.md §2.14-2.17 / BASELINE.md):
 
-Baseline: a NumPy/LAPACK implementation of the identical iteration (per-block
-``numpy.linalg.eigh`` loop + cached dense Cholesky KKT solve), mirroring how
-the reference executes on CPU (sequential per-cone projection fan-out,
-src/convexset.jl:885-891 + LAPACK syevr per block). Both run on this host;
-``vs_baseline`` = TPU iterations/s over CPU-reference iterations/s.
+1. ``block_sdp_512x16``  — 512 PSD blocks of side 16, n=512 (many small
+   cliques; Pallas Jacobi projection path; dense Cholesky KKT).  This is the
+   headline metric, identical to round 1 for comparability.
+2. ``block_sdp_8x256``   — 8 PSD blocks of side 256, n=256 (large blocks;
+   Newton-Schulz polar projection path on the MXU).
+3. ``maxcut_2000_sparse``— chordally decomposed 2000-node maxcut (sparse
+   Coo data, matrix-free CG KKT with compensated restarts) through the full
+   Model pipeline — the north-star layout.
+
+For each shape the bench reports iterations/s, algorithmic FLOPs/iteration
+of the executed kernels (projection backend + KKT solve), achieved TFLOP/s,
+and MFU vs the TPU v5e bf16 matmul peak (197 TFLOP/s; f32 'highest'
+precision runs 6 bf16 passes per matmul, so f32 speed-of-light is ~1/6 of
+that — both ratios are reported).
+
+Baseline: a NumPy/LAPACK implementation of the identical iteration for
+shape 1 (per-block ``numpy.linalg.eigh`` loop + cached dense Cholesky),
+mirroring the reference's CPU execution model (sequential per-cone
+projection fan-out, src/convexset.jl:885-891). ``vs_baseline`` = TPU
+iter/s over CPU iter/s on shape 1.
 
 Prints exactly one JSON line.
 """
@@ -24,10 +36,13 @@ N_BLOCKS = 512
 SIDE = 16
 NVAR = 512
 ITERS = 200
-BASE_ITERS = 30
+BASE_ITERS = 200
 RHO = 0.1
 SIGMA = 1e-6
 ALPHA = 1.6
+
+V5E_BF16_PEAK = 197e12     # TPU v5e MXU peak, bf16 FLOP/s
+PASSES_F32_HIGHEST = 6     # bf16 passes per f32 'highest' matmul
 
 
 def _numpy_baseline(P, q, A, b, n_blocks, side, iters):
@@ -36,7 +51,6 @@ def _numpy_baseline(P, q, A, b, n_blocks, side, iters):
 
     m, n = A.shape
     d = tri_dim(side)
-    # svec <-> mat index maps for one block
     j = np.repeat(np.arange(side), np.arange(1, side + 1))
     i = np.arange(d) - j * (j + 1) // 2
     unscale = np.where(i == j, 1.0, 1.0 / np.sqrt(2.0))
@@ -51,7 +65,6 @@ def _numpy_baseline(P, q, A, b, n_blocks, side, iters):
     s = np.zeros(m)
     t0 = time.perf_counter()
     for _ in range(iters):
-        # projection: per-block eigh loop (reference execution model)
         w2 = w[n:]
         for blk in range(n_blocks):
             v = w2[blk * d : (blk + 1) * d]
@@ -62,7 +75,6 @@ def _numpy_baseline(P, q, A, b, n_blocks, side, iters):
             lp = np.maximum(lam, 0.0)
             Y = (V * lp) @ V.T
             s[blk * d : (blk + 1) * d] = Y[i, j] * rescale
-        # x-update via cached factor
         r1 = SIGMA * w[:n] - q
         r2 = b - 2.0 * s + w2
         rhs = r1 + A.T @ (RHO * r2)
@@ -75,7 +87,35 @@ def _numpy_baseline(P, q, A, b, n_blocks, side, iters):
     return iters / t
 
 
-def main():
+def _proj_flops_per_iter(cones):
+    """Algorithmic FLOPs of one composite projection with the backend that
+    compile_cones resolved."""
+    total = 0.0
+    for bkt in cones.psd_buckets:
+        B = bkt.gather_idx.shape[0]
+        k = bkt.side
+        if cones.eigh_backend == "polar":
+            # quintic-phase Newton-Schulz: ~40 [k,k]@[k,k] matmuls/block
+            total += B * 40 * 2 * k**3
+        elif cones.eigh_backend == "pallas":
+            # Jacobi: sweeps x (k-1) rounds x k/2 rotations x ~12k flops
+            # + V accumulation, + reconstruction V diag(w+) V'
+            total += B * (cones.jacobi_sweeps * 12 * k**3 + 4 * k**3)
+        else:
+            total += B * 11 * k**3  # LAPACK-style eigh + reconstruction
+    return total
+
+
+def _kkt_flops_per_iter(m, n, refine_steps):
+    """Dense cached-Cholesky solve: 2 triangular solves (2n^2 each) +
+    A matvec/rmatvec (2mn each); each refinement step adds the compensated
+    matvec (~8x a plain one in VPU flops) and another solve pair."""
+    base = 2 * 2 * n * n + 2 * 2 * m * n
+    per_refine = 2 * 2 * n * n + 8 * (2 * m * n + 2 * n * n)
+    return base + refine_steps * per_refine
+
+
+def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -84,28 +124,22 @@ def main():
     from cosmo_tpu.settings import Settings, split_settings
 
     platform = jax.devices()[0].platform
-    dtype = np.float32 if platform == "tpu" else np.float64
+    dtype = np.float32 if platform != "cpu" else np.float64
 
     P, q, A, b, sets = problems.block_sdp(
-        n_blocks=N_BLOCKS, side=SIDE, n=NVAR, seed=0
+        n_blocks=n_blocks, side=side, n=nvar, seed=0
     )
     m, n = A.shape
 
-    # fixed-iteration throughput run: tolerances at 0 so nothing terminates
     settings = Settings(
-        max_iter=ITERS,
-        eps_abs=0.0,
-        eps_rel=0.0,
-        eps_prim_inf=0.0,   # statically disables the infeasibility subgraph
-        eps_dual_inf=0.0,
-        accelerator=None,
-        adaptive_rho=False,
-        check_termination=25,
-        check_infeasibility=40,
-        scaling=10,
+        max_iter=ITERS, eps_abs=0.0, eps_rel=0.0,
+        eps_prim_inf=0.0, eps_dual_inf=0.0,     # static infeasibility off
+        accelerator=None, adaptive_rho=False,
+        check_termination=25, scaling=10,
     )
     cones = conedata.compile_cones(
-        sets, dtype=dtype, psd_pad_to=8, eigh_backend="auto", jacobi_sweeps=6
+        sets, dtype=dtype, psd_pad_to=8, eigh_backend=eigh_backend,
+        jacobi_sweeps=6,
     )
     static, dyn = split_settings(settings, m, n, dtype)
 
@@ -115,7 +149,6 @@ def main():
     mu0 = jnp.zeros(m, dtype)
 
     def run():
-        # full fp32 matmul accuracy (bf16 passes break 1e-5 residuals)
         with jax.default_matmul_precision("highest"):
             out = solver_mod.solve_jit(
                 Pd, Ad, qd, bd, cones, x0, s0, mu0, dyn, static=static
@@ -130,17 +163,74 @@ def main():
         t0 = time.perf_counter()
         iters, _rp = run()
         t_best = min(t_best, time.perf_counter() - t0)
-    tpu_ips = iters / t_best
+    ips = iters / t_best
 
+    flops = _proj_flops_per_iter(cones) + _kkt_flops_per_iter(
+        m, n, static.kkt_refine_steps
+    )
+    return dict(
+        label=label, iters_per_s=round(ips, 2),
+        flops_per_iter=int(flops),
+        tflops=round(ips * flops / 1e12, 3),
+        mfu_bf16=round(ips * flops / V5E_BF16_PEAK, 4),
+        mfu_f32_highest=round(ips * flops * PASSES_F32_HIGHEST / V5E_BF16_PEAK, 4),
+        eigh_backend=cones.eigh_backend,
+        problem=(P, q, A, b, sets),
+    )
+
+
+def _bench_maxcut_sparse(n_nodes=2000):
+    """The north-star layout through the full Model pipeline."""
+    import cosmo_tpu as cosmo
+    from cosmo_tpu import problems
+
+    P, q, A, b, sets, _ = problems.maxcut(
+        n_nodes=n_nodes, density=4.0 / n_nodes, seed=0, sparse=True
+    )
+    model = cosmo.Model(cosmo.Settings(
+        max_iter=ITERS, eps_abs=0.0, eps_rel=0.0,
+        eps_prim_inf=0.0, eps_dual_inf=0.0,
+        accelerator=None, adaptive_rho=False, decompose=True,
+    ))
+    model.set(P, q, A, b, sets)
+    model.optimize()          # compile + decomposition warm-up
+    r = model.optimize()      # decomposition cached; measure iter phase
+    ips = r.iter / r.times.iter_time
+    nnz = model._chordal_info.problem[2].nnz
+    kkt_iters = max(r.info.kkt_solver_iters, 1)
+    # per ADMM iter: CG iters x 2 SpMM (2nnz) + projection
+    from cosmo_tpu.ops import conedata as cd
+
+    dtype = np.float32
+    cones = cd.compile_cones(model._chordal_info.problem[4], dtype=dtype)
+    flops = _proj_flops_per_iter(cones) + (kkt_iters / r.iter) * 2 * 2 * nnz
+    return dict(
+        label="maxcut_2000_sparse_decomposed", iters_per_s=round(ips, 2),
+        flops_per_iter=int(flops),
+        tflops=round(ips * flops / 1e12, 3),
+        cg_iters_per_admm_iter=round(kkt_iters / max(r.iter, 1), 1),
+        n_clique_blocks=len(model._chordal_info.problem[4]),
+    )
+
+
+def main():
+    s1 = _bench_block_sdp(N_BLOCKS, SIDE, NVAR, "block_sdp_512x16")
+    P, q, A, b, sets = s1.pop("problem")
     base_ips = _numpy_baseline(P, q, A, b, N_BLOCKS, SIDE, BASE_ITERS)
+
+    s2 = _bench_block_sdp(8, 256, 256, "block_sdp_8x256")
+    s2.pop("problem")
+    s3 = _bench_maxcut_sparse()
 
     print(
         json.dumps(
             {
                 "metric": "admm_iterations_per_s_block_sdp_512x16",
-                "value": round(tpu_ips, 2),
+                "value": s1["iters_per_s"],
                 "unit": "iter/s",
-                "vs_baseline": round(tpu_ips / base_ips, 3),
+                "vs_baseline": round(s1["iters_per_s"] / base_ips, 3),
+                "shapes": [s1, s2, s3],
+                "cpu_baseline_iters_per_s": round(base_ips, 2),
             }
         )
     )

@@ -62,7 +62,7 @@ from .interface import solve  # noqa: E402
 from .models.constraint import Constraint  # noqa: E402
 from .models.model import Model, assemble, optimize  # noqa: E402
 from .results import Result, ResultInfo, ResultTimes  # noqa: E402
-from .settings import Settings  # noqa: E402
+from .settings import CustomKKTSolver, Settings  # noqa: E402
 from .utils.printing import print_clique_sizes, print_merge_logs  # noqa: E402
 
 __version__ = "0.1.0"
@@ -81,6 +81,7 @@ __all__ = [
     "print_clique_sizes",
     "enable_x64",
     "CustomCone",
+    "CustomKKTSolver",
     "ZeroSet",
     "Nonnegatives",
     "Box",

@@ -92,46 +92,87 @@ def update(aa: AccelState, g, x, memory: str = "restarted") -> AccelState:
     )
 
 
-def accelerate(aa: AccelState, w, aa_type: str = "type2"):
+def accelerate(aa: AccelState, w, aa_type: str = "type2",
+               regularizer: str = "none"):
     """Compute the accelerated candidate w_acc = g - dG' gamma.
 
-    Type-II (default): gamma = argmin ||f - dF' gamma|| (normal equations on
-    dF dF'). Type-I (Fang & Saad / Zhang-O'Donoghue-Boyd multisecant form):
-    gamma solves (dX dF') gamma = dX f with dX = dG + dF, which plugs into
-    the same update w_acc = g - dG' gamma.  Returns (w_new, aa)."""
+    ``aa_type``:
+
+    * ``"type2"`` — gamma = argmin ||f - dF' gamma|| via the normal
+      equations on dF dF' (reference: Type2{NormalEquations});
+    * ``"type2_qr"`` — the same least-squares via a QR factorization of
+      dF' (reference default: Type2{QRDecomp}, settings.jl:136) — more
+      robust when the secant matrix is ill-conditioned;
+    * ``"type1"`` — Fang & Saad / Zhang-O'Donoghue-Boyd multisecant form:
+      gamma solves (dX dF') gamma = dX f with dX = dG + dF.
+
+    ``regularizer`` (normal-equation paths; reference: COSMOAccelerators'
+    NoRegularizer / TikonovRegularizer / FrobeniusNormRegularizer):
+    ``"none"`` adds only the tiny jitter that keeps the solve finite,
+    ``"tikhonov"`` adds lambda*I with lambda = 1e-8 * ||G||_F,
+    ``"frobenius"`` adds lambda*I with lambda = 1e-10 * ||dF||_F^2 (scales
+    with the squared data norm).  The QR path ignores the regularizer, like
+    the reference's QRDecomp variant.
+
+    Returns (w_new, aa)."""
     mem = aa.dF.shape[0]
     dtype = w.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
     rows = jnp.arange(mem)
-    active_row = rows < jnp.minimum(aa.count, mem)  # [mem]
+    n_active = jnp.minimum(aa.count, mem)
+    active_row = rows < n_active  # [mem]
 
     Fm = jnp.where(active_row[:, None], aa.dF, 0.0)
     Gm = jnp.where(active_row[:, None], aa.dG, 0.0)
 
-    # mem x mem secant system; inactive rows get an identity diagonal and
-    # zero rhs so their gamma is exactly 0
-    if aa_type == "type1":
-        Xm = Gm + Fm                       # dX = dG + dF
-        G_raw = Xm @ Fm.T
-        rhs = Xm @ aa.f_last
+    if aa_type == "type2_qr":
+        # least squares via QR of dF' [d, mem]; inactive history rows are
+        # zero columns -> zero R diagonal -> masked out of the solve
+        Q, R = jnp.linalg.qr(Fm.T, mode="reduced")   # Q [d, mem], R [mem, mem]
+        rhs = Q.T @ aa.f_last
+        diag = jnp.abs(jnp.diagonal(R))
+        dmax = jnp.maximum(jnp.max(diag), 1e-30)
+        good = diag > (eps * mem) * dmax
+        R_safe = R + jnp.diag(jnp.where(good, 0.0, 1.0))
+        import jax.scipy.linalg as jsl
+
+        gamma = jsl.solve_triangular(
+            R_safe, jnp.where(good, rhs, 0.0), lower=False
+        )
+        gamma = jnp.where(good, gamma, 0.0)
+        # fail like the reference's QR solve: any degenerate *active* column
+        well_cond = jnp.all(good | ~active_row)
     else:
-        G_raw = Fm @ Fm.T
-        rhs = Fm @ aa.f_last
-    diag_fix = jnp.where(active_row, 1e-13 * jnp.maximum(jnp.abs(jnp.trace(G_raw)), 1.0), 1.0)
-    G = G_raw + jnp.diag(diag_fix)
-    gamma = jnp.linalg.solve(G, rhs)
+        # mem x mem secant system; inactive rows get an identity diagonal
+        # and zero rhs so their gamma is exactly 0
+        if aa_type == "type1":
+            Xm = Gm + Fm                       # dX = dG + dF
+            G_raw = Xm @ Fm.T
+            rhs = Xm @ aa.f_last
+        else:
+            G_raw = Fm @ Fm.T
+            rhs = Fm @ aa.f_last
+        if regularizer == "tikhonov":
+            lam = 1e-8 * jnp.linalg.norm(G_raw)
+        elif regularizer == "frobenius":
+            lam = 1e-10 * jnp.sum(Fm * Fm)
+        else:
+            lam = 1e-13 * jnp.maximum(jnp.abs(jnp.trace(G_raw)), 1.0)
+        diag_fix = jnp.where(active_row, lam, 1.0)
+        G = G_raw + jnp.diag(diag_fix)
+        gamma = jnp.linalg.solve(G, rhs)
+        # Declare failure when the secant system is numerically rank
+        # deficient — the reference's QR-based Type-II solve fails there
+        # too, which is what lets deferred rho/infeasibility updates run on
+        # such iterations. rank test: the count-th largest eigenvalue of the
+        # *unregularized* Gram must clear eps * mem relative to the largest
+        # (Gram ratios are squared conditioning of the secant matrix).
+        sv = jnp.linalg.svd(G_raw, compute_uv=False)  # descending
+        kth = sv[jnp.clip(n_active - 1, 0, mem - 1)]
+        well_cond = kth > (eps * mem) * sv[0]
 
     w_acc = aa.g_last - Gm.T @ gamma
-    # Declare failure when the secant system is numerically rank deficient —
-    # the reference's QR-based Type-II solve fails there too, which is what
-    # lets deferred rho/infeasibility updates run on such iterations.
-    # rank test: the count-th largest eigenvalue of the *unjittered* Gram must
-    # clear eps * mem relative to the largest (Gram ratios are squared
-    # conditioning of the secant matrix).
-    sv = jnp.linalg.svd(G_raw, compute_uv=False)  # descending
-    kth = sv[jnp.clip(jnp.minimum(aa.count, mem) - 1, 0, mem - 1)]
-    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-    well_cond = kth > (eps * mem) * sv[0]
     ok = jnp.all(jnp.isfinite(w_acc)) & (aa.count > 0) & well_cond
 
     w_new = jnp.where(ok, w_acc, w)

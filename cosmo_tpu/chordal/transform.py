@@ -62,6 +62,44 @@ class ChordalInfo:
     num_overlaps: int
     mode: str = "compact"   # "compact" | "standard"
     H: object = None        # standard mode: scipy selector matrix [m_orig, nH]
+    S: object = None        # compact mode: scipy row selector [m_new, m_orig]
+
+    def refresh_qb(self, q: np.ndarray, b: np.ndarray):
+        """Re-derive the decomposed (q, b) from updated original vectors —
+        the structure (A/P/index maps) is value-independent of q/b, which is
+        what lets a Model cache the decomposition across update() re-solves
+        (reference: the States caching flags, types.jl:330-337,
+        setup.jl:22-61)."""
+        q_new = np.concatenate([q, np.zeros(self.num_overlaps, dtype=q.dtype)])
+        if self.mode == "standard":
+            b_new = np.concatenate([b, np.zeros(self.num_overlaps, dtype=b.dtype)])
+        else:
+            b_new = self.S @ b
+        return q_new, b_new
+
+    def map_warm_start(self, x0: np.ndarray, s0: np.ndarray, mu0: np.ndarray):
+        """Lift a warm start from the original space into the decomposed
+        space (the forward companion of reverse_transform; reference warm
+        starts compose with every solve, interface.jl:117-179).
+
+        ``s`` entries are split evenly over their block occurrences (the
+        reverse scatter-add then restores the original values); ``mu``
+        entries are copied to every occurrence; overlap variables start
+        at 0.
+        """
+        x_d = np.concatenate([x0, np.zeros(self.num_overlaps, dtype=x0.dtype)])
+        if self.mode == "standard":
+            h_rows = self.row_map[self.m_orig:]
+            mult = np.bincount(h_rows, minlength=self.m_orig)[h_rows]
+            s_d = np.concatenate([np.zeros(self.m_orig, dtype=s0.dtype),
+                                  s0[h_rows] / np.maximum(mult, 1)])
+            mu_d = np.concatenate([np.zeros(self.m_orig, dtype=mu0.dtype),
+                                   mu0[h_rows]])
+        else:
+            mult = np.bincount(self.row_map, minlength=self.m_orig)[self.row_map]
+            s_d = s0[self.row_map] / np.maximum(mult, 1)
+            mu_d = mu0[self.row_map]
+        return x_d, s_d, mu_d
 
 
 def _block_entry_indices(nb: int):
@@ -216,6 +254,7 @@ def compact_transform(
         patterns=patterns,
         row_map=row_map,
         num_overlaps=num_overlaps,
+        S=S,
     )
 
 

@@ -61,7 +61,11 @@ class Model:
         self.is_assembled = False
         self.is_decomposed = False
         self._chordal_info = None
+        self._decomp_key = None
         self._last_result: Optional[results_mod.Result] = None
+        # the interval chosen by the auto rho-adaptation probe
+        # (settings.adaptive_rho_interval == 0), for introspection
+        self.auto_rho_interval: Optional[int] = None
 
     @property
     def model_size(self):
@@ -128,6 +132,7 @@ class Model:
         self.is_assembled = True
         self.is_decomposed = False
         self._chordal_info = None
+        self._decomp_key = None
         self.x0 = np.zeros(n)
         self.s0 = np.zeros(m)
         self.mu0 = np.zeros(m)
@@ -159,6 +164,7 @@ class Model:
         self.is_assembled = True
         self.is_decomposed = False
         self._chordal_info = None
+        self._decomp_key = None
         self.x0 = np.zeros(n)
         self.s0 = np.zeros(m)
         self.mu0 = np.zeros(m)
@@ -191,8 +197,9 @@ class Model:
             raise RuntimeError("Model has to be assembled before updating q or b.")
         # unlike the reference (interface.jl:193: updates are forbidden after
         # decomposition because it rewrites the stored problem in place), the
-        # decomposition here is re-derived from the original data at every
-        # optimize(), so updates remain valid
+        # cached decomposition here keeps the original-space index maps, so
+        # updated q/b re-derive the decomposed vectors in O(m) and the graph
+        # analysis is reused
         if q is not None:
             q = np.asarray(q, dtype=np.float64).ravel()
             if len(q) != self.model_size[1]:
@@ -263,17 +270,30 @@ class Model:
         t_graph = time.perf_counter()
         P, q, A, b, sets = self.P, self.q, self.A, self.b, self.sets
         chordal_info = None
+        decomp_key = (settings.merge_strategy, settings.compact_transformation)
         if settings.decompose and any(
             isinstance(s, (C.PsdCone, C.PsdConeTriangle)) and getattr(s, "decomposable", False)
             for s in sets
         ):
             from .. import chordal
 
-            chordal_info = chordal.decompose(P, q, A, b, sets, settings)
-            if chordal_info is not None:
-                P, q, A, b, sets = chordal_info.problem
+            if self._chordal_info is not None and self._decomp_key == decomp_key:
+                # structure cache hit: A/P and all index maps are unchanged
+                # by q/b updates, so graph analysis is skipped entirely and
+                # only the vectors are re-derived (reference: the States
+                # caching flags, types.jl:330-337, setup.jl:22-61)
+                chordal_info = self._chordal_info
+                q2, b2 = chordal_info.refresh_qb(q, b)
+                P, _, A, _, sets = chordal_info.problem
+                q, b = q2, b2
                 self.is_decomposed = True
-                self._chordal_info = chordal_info
+            else:
+                chordal_info = chordal.decompose(P, q, A, b, sets, settings)
+                if chordal_info is not None:
+                    P, q, A, b, sets = chordal_info.problem
+                    self.is_decomposed = True
+                    self._chordal_info = chordal_info
+                    self._decomp_key = decomp_key
         times.graph_time = time.perf_counter() - t_graph
 
         dtype = _default_dtype(settings)
@@ -305,9 +325,10 @@ class Model:
         bd = jnp.asarray(b, dtype)
 
         if chordal_info is not None:
-            x0 = np.zeros(n)
-            s0 = np.zeros(m)
-            mu0 = np.zeros(m)
+            # lift user warm starts into the decomposed space (reference:
+            # interface.jl:117-179 compose with every solve; round 1 zeroed
+            # them for decomposed problems)
+            x0, s0, mu0 = chordal_info.map_warm_start(self.x0, self.s0, self.mu0)
         else:
             x0, s0, mu0 = self.x0, self.s0, self.mu0
         x0d = jnp.asarray(x0, dtype)
@@ -330,14 +351,42 @@ class Model:
 
         t_iter = time.perf_counter()
         with jax.default_matmul_precision(settings.matmul_precision):
-            if settings.time_limit and settings.time_limit > 0:
-                # chunked solving with warm-started re-entry so the wall
-                # clock can be checked between device calls (reference
+            carry0 = None
+            out = None
+            if (
+                settings.adaptive_rho
+                and settings.adaptive_rho_interval == 0
+                and settings.max_iter > 2 * settings.check_termination
+            ):
+                # auto rho-adaptation interval (reference: solver.jl:242-256,
+                # parameters.jl:75-92): spend ~adaptive_rho_fraction of the
+                # host setup time iterating, then fix the interval as a
+                # multiple of check_termination.  The loop is one compiled
+                # XLA program with no host clock, so the per-iteration time
+                # comes from a timed probe chunk re-entered via the loop
+                # carry; the interval is a device scalar, so resolving it
+                # never recompiles.
+                dyn, carry0, out = self._resolve_auto_rho_interval(
+                    Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
+                    settings, times,
+                )
+            if out is not None:
+                pass  # the probe already finished the solve
+            elif settings.time_limit and settings.time_limit > 0:
+                # chunked solving re-entered through the loop carry so the
+                # wall clock can be checked between device calls (reference
                 # behavior: Time_limit_reached, solver.jl:303-321)
                 out = self._solve_chunked(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
-                    settings, t_solver, dtype,
+                    settings, t_solver, dtype, carry0,
                 )
+            elif carry0 is not None:
+                out = solver_mod.solve_jit(
+                    Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn,
+                    static=static, carry_in=carry0, return_carry=True,
+                )
+                out = dict(out)
+                out.pop("carry")
             else:
                 out = solver_mod.solve_jit(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static=static
@@ -374,6 +423,10 @@ class Model:
             nearly_feasible=bool(nearly),
             kkt_solver_iters=int(out.get("kkt_solver_iters", 0)),
         )
+        if settings.verbose_timing:
+            self._measure_phase_times(
+                times, Pd, Ad, qd, bd, cones, dyn, static, settings, out, dtype
+            )
         times.solver_time = time.perf_counter() - t_solver
         result = results_mod.Result(
             x=x,
@@ -394,17 +447,146 @@ class Model:
         return result
 
 
-# attached as a Model method below (kept separate for readability)
+# attached as Model methods below (kept separate for readability)
+def _measure_phase_times(self, times, Pd, Ad, qd, bd, cones, dyn, static,
+                         settings, out, dtype):
+    """Populate the per-phase timers (reference: types.jl:26-58).
+
+    The whole solve is ONE fused XLA program, so phases cannot be timed in
+    situ; instead each phase kernel is run standalone on the real problem
+    data and its per-call time is multiplied by how often the solve invoked
+    it (reference semantics: cumulative per-phase cost). Only runs when
+    ``verbose_timing`` is set — each measurement costs device round-trips.
+    """
+    from ..ops import kkt as kkt_ops
+    from ..ops import projections, scaling as scaling_ops
+    from ..settings import KKT_DENSE
+
+    def timed(fn, *args, reps=3, **kw):
+        fn(*args, **kw)  # warm/compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn(*args, **kw)
+            jax.tree_util.tree_map(
+                lambda x: np.asarray(x).ravel()[:1], r
+            )  # force host transfer: tunnel-safe sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n_iter = max(int(out["iter"]) + int(out["safeguarding_iter"]), 1)
+    n_rho = int(out["n_rho_adapt"])
+    n_acc = int(out.get("n_accelerated", 0))
+    m, n = static.m, static.n
+    w2 = jnp.asarray(np.asarray(bd), dtype)
+
+    proj_fn = jax.jit(projections.project)
+    times.proj_time = timed(proj_fn, w2, cones) * n_iter
+
+    rho_vec = jnp.full(m, dyn.rho, dtype)
+    if static.scaling_iters > 0:
+        scale_fn = jax.jit(
+            lambda: scaling_ops.ruiz_scale(Pd, Ad, qd, bd, cones,
+                                           static.scaling_iters, dyn)
+        )
+        times.scaling_time = timed(scale_fn)
+    else:
+        times.scaling_time = 0.0
+
+    if not isinstance(static.kkt_solver, str):
+        # custom KKT plug-in: time setup + solve through its own hooks
+        setup_fn = jax.jit(static.kkt_solver.setup)
+        times.init_factor_time = timed(setup_fn, Pd, Ad, dyn.sigma, rho_vec)
+        times.factor_update_time = times.init_factor_time * n_rho
+        st = setup_fn(Pd, Ad, dyn.sigma, rho_vec)
+        solve_fn = jax.jit(lambda st, r1, r2: static.kkt_solver.solve(
+            st, Pd, Ad, dyn.sigma, rho_vec, r1, r2))
+        t_solve = timed(solve_fn, st, jnp.zeros(n, dtype) + 1.0, w2)
+    elif static.kkt_solver == KKT_DENSE:
+        factor_fn = jax.jit(kkt_ops.dense_factor)
+        t_factor = timed(factor_fn, Pd, Ad, dyn.sigma, rho_vec)
+        times.init_factor_time = t_factor
+        times.factor_update_time = t_factor * n_rho
+        st = factor_fn(Pd, Ad, dyn.sigma, rho_vec)
+        solve_fn = jax.jit(lambda st, r1, r2: kkt_ops.dense_solve(
+            st, Pd, Ad, dyn.sigma, rho_vec, r1, r2, static.kkt_refine_steps))
+        t_solve = timed(solve_fn, st, jnp.zeros(n, dtype) + 1.0, w2)
+    else:
+        times.init_factor_time = 0.0
+        times.factor_update_time = 0.0
+        solve_fn = jax.jit(lambda r1, r2: kkt_ops.cg_solve(
+            Pd, Ad, dyn.sigma, rho_vec, r1, r2, jnp.zeros(n, dtype),
+            jnp.asarray(1e-6, dtype), jnp.asarray(1e-6, dtype),
+            static.kkt_cg_max_iter, static.kkt_refine_steps))
+        t_solve = timed(solve_fn, jnp.zeros(n, dtype) + 1.0, w2)
+    times.update_time = t_solve * n_iter  # the x/nu-update == the KKT solve
+
+    if static.accel_mem > 0 and n_acc > 0:
+        from .. import accel
+
+        aa = accel.init_accel(n + m, static.accel_mem, dtype)
+        acc_fn = jax.jit(lambda aa, w: accel.accelerate(
+            aa, w, static.accel_type, static.accel_regularizer))
+        times.accelerate_time = timed(
+            acc_fn, aa, jnp.ones(n + m, dtype)) * n_acc
+    else:
+        times.accelerate_time = 0.0
+
+
+Model._measure_phase_times = _measure_phase_times
+
+
+def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
+                               dyn, static, settings, times):
+    """Run two short probe chunks; time the second (the first absorbs any
+    compile); set the interval so ~adaptive_rho_fraction of the setup time
+    passes between adaptations, rounded to a multiple of check_termination.
+    Returns (dyn, carry, finished_out_or_None); probe iterations count
+    toward the solve via the carry."""
+    probe = max(int(settings.check_termination), 10)
+    out = solver_mod.solve_jit(
+        Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
+        dyn._replace(max_iter=np.asarray(probe, np.int32)),
+        static=static, return_carry=True,
+    )
+    out = dict(out)
+    carry = out.pop("carry")
+    if int(out["status"]) != results_mod.MAX_ITER_REACHED:
+        return dyn, carry, out  # solved (or certified) within the probe
+    t0 = time.perf_counter()
+    out = solver_mod.solve_jit(
+        Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
+        dyn._replace(max_iter=np.asarray(2 * probe, np.int32)),
+        static=static, carry_in=carry, return_carry=True,
+    )
+    out = dict(out)
+    carry = out.pop("carry")
+    status = int(out["status"])  # also forces the host transfer for timing
+    per_iter = (time.perf_counter() - t0) / probe
+    setup = times.graph_time + times.setup_time
+    ct = max(int(settings.check_termination), 1)
+    iv = settings.adaptive_rho_fraction * setup / max(per_iter, 1e-9)
+    iv = int(round(iv / ct)) * ct
+    iv = min(max(iv, ct), int(settings.max_iter))
+    self.auto_rho_interval = iv
+    dyn = dyn._replace(adaptive_rho_interval=np.asarray(iv, np.int32))
+    if status != results_mod.MAX_ITER_REACHED:
+        return dyn, carry, out
+    return dyn, carry, None
+
+
+Model._resolve_auto_rho_interval = _resolve_auto_rho_interval
+
+
 def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
-                   settings, t_start, dtype):
+                   settings, t_start, dtype, carry=None):
     """Time-limited solve: run fixed-size chunks of the SAME compiled program
     (``max_iter`` is a device scalar) and re-enter with the full loop carry,
     so the iterate trajectory — rho state, accelerator history, CG warm
     start, iteration counters — matches one uninterrupted solve
     (reference behavior: Time_limit_reached, solver.jl:303-321)."""
     chunk = max(int(settings.check_termination) * 10, 50)
-    limit = 0
-    carry = None
+    limit = int(np.asarray(carry.iter)) + int(np.asarray(carry.sg_iter)) if carry is not None else 0
     while True:
         limit = min(limit + chunk, int(settings.max_iter))
         out = solver_mod.solve_jit(

@@ -114,35 +114,30 @@ def dot2(a, b):
 # Matvecs against the exact stored problem data
 # ----------------------------------------------------------------------
 
-def _segment_sum_df32(p, e, seg, num_segments):
-    """Compensated sorted-segment sum via a pairwise two_sum prefix scan.
+def _segment_sum_df32(p, e, ptr, width: int):
+    """Compensated sorted-segment sum via a static-shape ELL gather.
 
-    ``seg`` must be sorted ascending (the Coo invariant).  A pair-carrying
-    associative scan keeps each prefix accurate to ~eps^2; row sums are
-    boundary differences of the prefix, whose cancellation the compensated
-    subtraction absorbs.
+    ``ptr`` is the CSR-style [num_segments+1] pointer into the sorted
+    triplet arrays and ``width`` the static maximum segment length: each
+    segment's entries are gathered into a [num_segments, width] tile (out-of
+    -range lanes contribute exact zeros) and reduced with the pairwise
+    two_sum tree — every rounding lands in the error channel, with no scan
+    over nnz (large-nnz ``associative_scan`` triggered TPU kernel faults)
+    and no data-dependent shapes.
     """
-    from jax import lax
-
-    def comb(x, y):
-        s, err = two_sum(x[0], y[0])
-        return s, x[1] + y[1] + err
-
-    S, E = lax.associative_scan(comb, (p, e))
-    # ends[i] = index of the last element of segment i (or -1 if empty)
-    nnz = p.shape[0]
-    ends = jnp.searchsorted(seg, jnp.arange(num_segments, dtype=seg.dtype),
-                            side="right") - 1
-    zero = jnp.zeros((), p.dtype)
-    Sh = jnp.concatenate([jnp.zeros(1, p.dtype), S])
-    Eh = jnp.concatenate([jnp.zeros(1, p.dtype), E])
-    hi_end = Sh[ends + 1]
-    lo_end = Eh[ends + 1]
-    starts = jnp.concatenate([jnp.asarray([-1], ends.dtype), ends[:-1]])
-    hi_start = Sh[starts + 1]
-    lo_start = Eh[starts + 1]
-    s, err = two_sum(hi_end, -hi_start)
-    return s, err + (lo_end - lo_start)
+    num_segments = ptr.shape[0] - 1
+    if width == 0 or p.shape[0] == 0:
+        z = jnp.zeros(num_segments, p.dtype)
+        return z, z
+    starts = ptr[:-1]
+    lens = ptr[1:] - starts
+    lane = jnp.arange(width, dtype=starts.dtype)
+    idx = starts[:, None] + lane[None, :]
+    valid = lane[None, :] < lens[:, None]
+    idx = jnp.clip(idx, 0, p.shape[0] - 1)
+    pe = jnp.where(valid, p[idx], 0.0)
+    ee = jnp.where(valid, e[idx], 0.0)
+    return _pairwise_sum(pe, ee, axis=1)
 
 
 def matvec2(A, x_pair):
@@ -152,7 +147,7 @@ def matvec2(A, x_pair):
     if isinstance(A, Coo):
         p, e = two_prod(A.vals, xh[A.cols])
         e = e + A.vals * xl[A.cols]
-        return _segment_sum_df32(p, e, A.rows, A.m)
+        return _segment_sum_df32(p, e, A.row_ptr, A.max_row_nnz)
     p, e = two_prod(A, xh[None, :])
     e = e + A * xl[None, :]
     return _pairwise_sum(p, e, axis=1)
@@ -164,7 +159,7 @@ def rmatvec2(A, y_pair):
     if isinstance(A, Coo):
         p, e = two_prod(A.cvals, yh[A.crows])
         e = e + A.cvals * yl[A.crows]
-        return _segment_sum_df32(p, e, A.ccols, A.n)
+        return _segment_sum_df32(p, e, A.col_ptr, A.max_col_nnz)
     p, e = two_prod(A.T, yh[None, :])
     e = e + A.T * yl[None, :]
     return _pairwise_sum(p, e, axis=1)
@@ -179,11 +174,19 @@ def kkt_matvec2(P, A, sigma, rho_vec, x):
     """Compensated reduced-KKT matvec (P + sigma I + A' diag(rho) A) @ x
     against the exact stored P / A / rho (the rounded assembled M is never
     formed). ``x`` is a plain f32 vector; returns (hi, lo)."""
-    ax = matvec2(A, promote(x))
+    return kkt_matvec2_pair(P, A, sigma, rho_vec, promote(x))
+
+
+def kkt_matvec2_pair(P, A, sigma, rho_vec, x_pair):
+    """As :func:`kkt_matvec2` but for a (hi, lo) input pair — lets iterative
+    refinement keep its accumulated solution in double-f32, so the residual
+    it measures is not floored by the f32 representation of x."""
+    ax = matvec2(A, x_pair)
     rax = scale(rho_vec, ax)
     atrax = rmatvec2(A, rax)
-    px = matvec2(P, promote(x))
-    sx = two_prod(sigma, x)
+    px = matvec2(P, x_pair)
+    p, e = two_prod(sigma, x_pair[0])
+    sx = (p, e + sigma * x_pair[1])
     return add(add(px, sx), atrax)
 
 
@@ -198,4 +201,10 @@ def kkt_residual(P, A, sigma, rho_vec, t_pair, x):
     """Compensated residual t - M x of the reduced KKT system, collapsed to
     f32 (the residual is small, so the pair collapse loses nothing)."""
     mx = kkt_matvec2(P, A, sigma, rho_vec, x)
+    return to_f32(add(t_pair, (-mx[0], -mx[1])))
+
+
+def kkt_residual_pair(P, A, sigma, rho_vec, t_pair, x_pair):
+    """Compensated residual t - M x for a pair-valued x, collapsed to f32."""
+    mx = kkt_matvec2_pair(P, A, sigma, rho_vec, x_pair)
     return to_f32(add(t_pair, (-mx[0], -mx[1])))

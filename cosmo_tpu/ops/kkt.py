@@ -62,10 +62,11 @@ def dense_solve(state: DenseKKTState, P, A, sigma, rho_vec, r1, r2,
         x = _chol_solve(state.L, t)
     else:
         t_pair = df32.kkt_rhs2(A, rho_vec, r1, r2)
-        x = _chol_solve(state.L, t_pair[0])
+        x_pair = df32.promote(_chol_solve(state.L, t_pair[0]))
         for _ in range(refine_steps):
-            r = df32.kkt_residual(P, A, sigma, rho_vec, t_pair, x)
-            x = x + _chol_solve(state.L, r)
+            r = df32.kkt_residual_pair(P, A, sigma, rho_vec, t_pair, x_pair)
+            x_pair = df32.add(x_pair, df32.promote(_chol_solve(state.L, r)))
+        x = df32.to_f32(x_pair)
     nu = rho_vec * (matvec(A, x) - r2)
     return x, nu
 
@@ -156,10 +157,19 @@ def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, sched, res_min, max_iter: int,
         return x, k
 
     if refine_steps > 0:
-        x, k = x0, 0
+        # true iterative refinement with CG as the inner solver: the
+        # accumulated solution lives in a double-f32 pair, so each restart
+        # measures the residual of the *exact* accumulated x and the final
+        # error is representation-level (benign to the outer ADMM) instead
+        # of kappa-amplified
+        x_pair = df32.promote(x0)
+        k = 0
+        zero = jnp.zeros_like(x0)
         for _ in range(refine_steps + 1):
-            r = df32.kkt_residual(P, A, sigma, rho_vec, t_pair, x)
-            x, k = sweep(x, r, k)
+            r = df32.kkt_residual_pair(P, A, sigma, rho_vec, t_pair, x_pair)
+            d, k = sweep(zero, r, k)
+            x_pair = df32.add(x_pair, df32.promote(d))
+        x = df32.to_f32(x_pair)
     else:
         x, k = sweep(x0, t - mv(x0), 0)
     nu = rho_vec * (matvec(A, x) - r2)
@@ -235,10 +245,15 @@ def minres_solve(P, A, sigma, rho_vec, r1, r2, x0, sched, res_min, max_iter: int
         return st[1], st[0]
 
     if refine_steps > 0:
-        x, k = x0, 0
+        # pair-accumulated iterative refinement, as in cg_solve
+        x_pair = df32.promote(x0)
+        k = 0
+        zero = jnp.zeros_like(x0)
         for _ in range(refine_steps + 1):
-            r0 = df32.kkt_residual(P, A, sigma, rho_vec, t_pair, x)
-            x, k = sweep(x, r0, k)
+            r0 = df32.kkt_residual_pair(P, A, sigma, rho_vec, t_pair, x_pair)
+            d, k = sweep(zero, r0, k)
+            x_pair = df32.add(x_pair, df32.promote(d))
+        x = df32.to_f32(x_pair)
     else:
         x, k = sweep(x0, t - mv(x0), 0)
     nu = rho_vec * (matvec(A, x) - r2)

@@ -32,7 +32,14 @@ from ..utils.pytrees import register_pytree_dataclass, static_field
 @register_pytree_dataclass
 @dataclasses.dataclass(frozen=True)
 class Coo:
-    """COO sparse matrix with row-sorted and col-sorted triplet copies."""
+    """COO sparse matrix with row-sorted and col-sorted triplet copies.
+
+    ``row_ptr``/``col_ptr`` are CSR/CSC-style segment pointers into the
+    sorted copies with static max segment widths — they let the compensated
+    double-f32 matvecs (ops/df32.py) reduce each row with a static-shape
+    gather + pairwise tree instead of a scan over nnz (scans over large nnz
+    triggered TPU kernel faults, and the gather form is faster anyway).
+    """
 
     m: int = static_field()
     n: int = static_field()
@@ -42,6 +49,10 @@ class Coo:
     crows: Any = None   # int32 [nnz] (col-sorted copy)
     ccols: Any = None   # int32 [nnz], sorted ascending
     cvals: Any = None   # dtype [nnz]
+    row_ptr: Any = None  # int32 [m+1] segment starts in the row-sorted copy
+    col_ptr: Any = None  # int32 [n+1] segment starts in the col-sorted copy
+    max_row_nnz: int = static_field(default=0)
+    max_col_nnz: int = static_field(default=0)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -57,7 +68,18 @@ class Coo:
             m=self.n, n=self.m,
             rows=self.ccols, cols=self.crows, vals=self.cvals,
             crows=self.cols, ccols=self.rows, cvals=self.vals,
+            row_ptr=self.col_ptr, col_ptr=self.row_ptr,
+            max_row_nnz=self.max_col_nnz, max_col_nnz=self.max_row_nnz,
         )
+
+
+def segment_ptr(sorted_ids: np.ndarray, num_segments: int):
+    """CSR-style pointer array for a sorted segment-id array (host side).
+    Returns (ptr [num_segments+1] int32, max segment width)."""
+    counts = np.bincount(sorted_ids, minlength=num_segments)
+    ptr = np.zeros(num_segments + 1, dtype=np.int32)
+    np.cumsum(counts, out=ptr[1:])
+    return ptr, int(counts.max()) if counts.size else 0
 
 
 def coo_from_scipy(A, dtype) -> Coo:
@@ -71,10 +93,14 @@ def coo_from_scipy(A, dtype) -> Coo:
     v = np.asarray(Ac.data, dtype=dtype)
     pr = np.lexsort((c, r))
     pc = np.lexsort((r, c))
+    row_ptr, w_r = segment_ptr(r[pr], m)
+    col_ptr, w_c = segment_ptr(c[pc], n)
     return Coo(
         m=m, n=n,
         rows=r[pr], cols=c[pr], vals=v[pr],
         crows=r[pc], ccols=c[pc], cvals=v[pc],
+        row_ptr=row_ptr, col_ptr=col_ptr,
+        max_row_nnz=w_r, max_col_nnz=w_c,
     )
 
 

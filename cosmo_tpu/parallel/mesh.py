@@ -137,16 +137,25 @@ def shard_coo(mesh: Mesh, A, axis: str = BLOCK_AXIS):
     contiguously, each device's chunk touches a contiguous row range, which
     keeps the partial outputs bandwidth-friendly.
     """
+    from ..ops.linops import segment_ptr
+
     nnz = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
     d = mesh.shape[axis]
     r, c, v = _align_triplets(np.asarray(A.rows), np.asarray(A.cols),
                               np.asarray(A.vals), d)
     cc, cr, cv = _align_triplets(np.asarray(A.ccols), np.asarray(A.crows),
                                  np.asarray(A.cvals), d)
+    # the zero-value fillers count as (exact-zero) segment entries, so the
+    # compensated-matvec pointers are rebuilt for the padded layout
+    row_ptr, w_r = segment_ptr(r, A.m)
+    col_ptr, w_c = segment_ptr(cc, A.n)
     return dataclasses.replace(
         A,
         rows=_put(r, nnz), cols=_put(c, nnz), vals=_put(v, nnz),
         crows=_put(cr, nnz), ccols=_put(cc, nnz), cvals=_put(cv, nnz),
+        row_ptr=_put(row_ptr, rep), col_ptr=_put(col_ptr, rep),
+        max_row_nnz=w_r, max_col_nnz=w_c,
     )
 
 

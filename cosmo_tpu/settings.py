@@ -32,6 +32,32 @@ MERGE_PARENT_CHILD = "parent_child"
 MERGE_NONE = "none"
 
 
+@dataclasses.dataclass(eq=False)  # identity hash: part of the jit cache key
+class CustomKKTSolver:
+    """User-supplied KKT solver plug-in (reference: the 4-method
+    AbstractKKTSolver contract, src/linear_solver/kktsolver.jl:5-11).
+
+    Both members must be jittable JAX functions; they are traced into the
+    solve program, so a rho update re-invokes ``setup`` inside the loop
+    (the analog of ``update_rho!``) and there is nothing to free:
+
+    * ``setup(P, A, sigma, rho_vec) -> state`` — build/factor whatever the
+      solve needs (any pytree; may be ``()`` for matrix-free solvers);
+    * ``solve(state, P, A, sigma, rho_vec, r1, r2) -> (x_tilde, nu)`` —
+      solve the quasi-definite KKT system
+      ``[P + sigma I, A'; A, -diag(1/rho)] [x; nu] = [r1; r2]``.
+
+    Pass an instance as ``Settings(kkt_solver=CustomKKTSolver(...))``.
+    """
+
+    setup: Any = None
+    solve: Any = None
+
+    def __post_init__(self):
+        if self.setup is None or self.solve is None:
+            raise ValueError("CustomKKTSolver needs both setup and solve functions")
+
+
 @dataclasses.dataclass
 class Settings:
     """User-facing solver settings.
@@ -78,7 +104,11 @@ class Settings:
     accelerator: Optional[str] = "anderson"
     accelerator_mem: int = 15
     accelerator_memory: str = "restarted"   # "restarted" | "rolling"
-    accelerator_type: str = "type2"         # "type2" | "type1"
+    accelerator_type: str = "type2"         # "type2" | "type2_qr" | "type1"
+    # Regularizer for the normal-equation accelerator solves (reference:
+    # COSMOAccelerators NoRegularizer/TikonovRegularizer/
+    # FrobeniusNormRegularizer): "none" | "tikhonov" | "frobenius"
+    accelerator_regularizer: str = "none"
     accelerator_activation: str = ACTIVATION_IMMEDIATE
     accelerator_activation_iter: int = 2
     accelerator_activation_accuracy: float = 1e-4
@@ -148,7 +178,6 @@ class StaticConfig(NamedTuple):
     check_infeasibility: int
     scaling_iters: int
     adaptive_rho: bool
-    adaptive_rho_interval: int
     adaptive_rho_max_adaptions: int
     infeas_enabled: bool
     kkt_solver: str
@@ -158,6 +187,7 @@ class StaticConfig(NamedTuple):
     accel_activation: str
     accel_memory: str
     accel_type: str
+    accel_regularizer: str
     safeguard: bool
     check_obj_true: bool
     verbose: bool
@@ -167,9 +197,12 @@ class StaticConfig(NamedTuple):
 
 class DynConfig(NamedTuple):
     """Dynamic (device-scalar) solve parameters; same dtype as the problem
-    (``max_iter`` is int32)."""
+    (``max_iter`` / ``adaptive_rho_interval`` are int32; the interval is
+    dynamic so the auto mode — interval computed from a timed probe chunk,
+    reference solver.jl:242-256 — never recompiles)."""
 
     max_iter: Any
+    adaptive_rho_interval: Any
     rho: Any
     sigma: Any
     alpha: Any
@@ -202,7 +235,6 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
         check_infeasibility=int(settings.check_infeasibility),
         scaling_iters=int(settings.scaling),
         adaptive_rho=bool(settings.adaptive_rho),
-        adaptive_rho_interval=int(settings.adaptive_rho_interval),
         adaptive_rho_max_adaptions=min(int(settings.adaptive_rho_max_adaptions), 2**31 - 1),
         infeas_enabled=(
             settings.eps_prim_inf > 0
@@ -219,6 +251,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
         accel_activation=settings.accelerator_activation,
         accel_memory=settings.accelerator_memory,
         accel_type=settings.accelerator_type,
+        accel_regularizer=settings.accelerator_regularizer,
         safeguard=bool(settings.safeguard),
         check_obj_true=not np.isnan(settings.obj_true),
         verbose=bool(settings.verbose),
@@ -228,6 +261,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
     f = lambda x: np.asarray(x, dtype=dtype)
     dyn = DynConfig(
         max_iter=np.asarray(settings.max_iter, dtype=np.int32),
+        adaptive_rho_interval=np.asarray(settings.adaptive_rho_interval, dtype=np.int32),
         rho=f(settings.rho),
         sigma=f(settings.sigma),
         alpha=f(settings.alpha),

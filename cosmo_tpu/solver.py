@@ -119,17 +119,38 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     rho_vec = _make_rho_vec(rho, rho_class, dyn)
     rho_log = jnp.zeros(RHO_LOG_LEN, dtype).at[0].set(rho)
 
-    use_dense = static.kkt_solver == KKT_DENSE
-    if use_dense:
+    # periodic residual measurements ride the compensated matvecs whenever
+    # the KKT refinement is active: in f32 the plain measurement noise feeds
+    # the rho adaptation and can drive a limit cycle near convergence
+    compensated_res = static.kkt_refine_steps > 0
+
+    custom_kkt = not isinstance(static.kkt_solver, str)
+    use_dense = (not custom_kkt) and static.kkt_solver == KKT_DENSE
+    if custom_kkt:
+        # user plug-in (reference: AbstractKKTSolver, kktsolver.jl:5-11)
+        kkt_state = static.kkt_solver.setup(P, A, dyn.sigma, rho_vec)
+    elif use_dense:
         kkt_state = kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec)
     else:
         kkt_state = ()
+
+    def kkt_setup(rho_vec):
+        if custom_kkt:
+            return static.kkt_solver.setup(P, A, dyn.sigma, rho_vec)
+        if use_dense:
+            return kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec)
+        return ()
 
     # ------------------------------------------------------------------
     # ADMM operator pieces (reference: solver.jl:7-65)
     # ------------------------------------------------------------------
     def kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min):
-        if use_dense:
+        if custom_kkt:
+            xt, nu = static.kkt_solver.solve(
+                kkt_state, P, A, dyn.sigma, rho_vec, r1, r2
+            )
+            k = jnp.zeros((), jnp.int32)
+        elif use_dense:
             xt, nu = kkt_ops.dense_solve(
                 kkt_state, P, A, dyn.sigma, rho_vec, r1, r2,
                 static.kkt_refine_steps,
@@ -217,10 +238,12 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
         x_k = c.w_prev[:n]
         rp, rd = res_ops.calculate_residuals(
-            P, A, q, b, x_k, c.s, mu_k, sm, ignore_scaling=True
+            P, A, q, b, x_k, c.s, mu_k, sm, ignore_scaling=True,
+            compensated=compensated_res,
         )
         mp, md = res_ops.max_res_component_norm(
-            P, A, q, b, x_k, c.s, mu_k, sm, ignore_scaling=True
+            P, A, q, b, x_k, c.s, mu_k, sm, ignore_scaling=True,
+            compensated=compensated_res,
         )
         rp = rp / (mp + 1e-10)
         rd = rd / (md + 1e-10)
@@ -232,7 +255,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
         def apply(c: LoopCarry) -> LoopCarry:
             rho_vec = _make_rho_vec(new_rho, rho_class, dyn)
-            kkt_new = kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec) if use_dense else ()
+            kkt_new = kkt_setup(rho_vec)
             # re-express w in the new scaling (solver.jl:278)
             w2 = mu_k / rho_vec + c.s
             w = jnp.concatenate([c.w[:n], w2])
@@ -263,7 +286,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     def check_termination(c: LoopCarry) -> LoopCarry:
         mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
         x_k = c.w_prev[:n]
-        info = res_ops.result_info(P, A, q, b, x_k, c.s, mu_k, sm)
+        info = res_ops.result_info(P, A, q, b, x_k, c.s, mu_k, sm,
+                                   compensated=compensated_res)
         cost = res_ops.calculate_cost(P, q, x_k, sm.cinv)
 
         status = c.status
@@ -339,7 +363,9 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             def do_accel(args):
                 aa, w = args
                 aa = accel.update(aa, w, c.w_prev, static.accel_memory)
-                w_new, aa = accel.accelerate(aa, w, static.accel_type)
+                w_new, aa = accel.accelerate(
+                    aa, w, static.accel_type, static.accel_regularizer
+                )
                 return aa, w_new
 
             def no_accel(args):
@@ -367,7 +393,13 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
         # --- rho adaptation rules (solver.jl:242-282) ---
         if static.adaptive_rho:
-            interval = static.adaptive_rho_interval if static.adaptive_rho_interval > 0 else 40
+            # dynamic interval (device scalar). 0 means "auto, not yet
+            # resolved" — the Model resolves it from a timed probe chunk
+            # before the main solve (reference: solver.jl:242-256); direct
+            # solver callers passing 0 get the reference's round-number 40
+            interval = jnp.where(
+                dyn.adaptive_rho_interval > 0, dyn.adaptive_rho_interval, 40
+            )
             due = c.rho_due | (
                 (jnp.mod(it, interval) == 0)
                 & (c.n_rho_adapt < static.adaptive_rho_max_adaptions)
@@ -442,7 +474,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     x_final = c.w_prev[:n]
 
     def finalize_maxiter(c: LoopCarry) -> LoopCarry:
-        info = res_ops.result_info(P, A, q, b, x_final, c.s, mu_final, sm)
+        info = res_ops.result_info(P, A, q, b, x_final, c.s, mu_final, sm,
+                                   compensated=compensated_res)
         return c._replace(res=info, status=jnp.asarray(results.MAX_ITER_REACHED, jnp.int32))
 
     c = lax.cond(

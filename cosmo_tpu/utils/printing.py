@@ -59,6 +59,18 @@ def print_result(model, result):
         f"Residuals: r_prim = {result.info.r_prim:.2e}, "
         f"r_dual = {result.info.r_dual:.2e}"
     )
+    if model.settings.verbose_timing:
+        t = result.times
+        print(
+            "Timing (phase kernels measured standalone x call count):\n"
+            f"  scaling       {t.scaling_time:9.4f}s\n"
+            f"  init factor   {t.init_factor_time:9.4f}s\n"
+            f"  factor update {t.factor_update_time:9.4f}s\n"
+            f"  projections   {t.proj_time:9.4f}s\n"
+            f"  kkt solves    {t.update_time:9.4f}s\n"
+            f"  acceleration  {t.accelerate_time:9.4f}s\n"
+            f"  post/reverse  {t.post_time:9.4f}s"
+        )
     print("-" * 66)
 
 

@@ -168,6 +168,49 @@ def test_assemble_with_sparse_constraints():
     assert np.allclose(r1.x, r0.x, atol=1e-5)
 
 
+def test_decomposition_cached_across_solves():
+    """The chordal analysis is cached on the Model: a q/b update re-solve
+    must not redo graph analysis (reference: States flags, types.jl:330-337)
+    and must produce the same answer as a fresh decomposition."""
+    from cosmo_tpu import problems
+
+    P, q, A, b, sets, _ = problems.banded_sdp(n_nodes=20, bandwidth=3, seed=6)
+    model = ct.Model(ct.Settings(decompose=True, eps_abs=1e-7, eps_rel=1e-7))
+    model.set(P, q, A, b, sets)
+    r1 = model.optimize()
+    info1 = model._chordal_info
+    assert model.is_decomposed and info1 is not None
+
+    model.update(q=q * 1.2)
+    r2 = model.optimize()
+    assert model._chordal_info is info1          # same cached analysis
+    assert r2.times.graph_time < 0.05            # no re-analysis
+
+    fresh = ct.Model(ct.Settings(decompose=True, eps_abs=1e-7, eps_rel=1e-7))
+    fresh.set(P, q * 1.2, A, b, sets)
+    r3 = fresh.optimize()
+    assert abs(r2.obj_val - r3.obj_val) < 1e-5
+
+
+def test_warm_start_composes_with_decomposition():
+    """Warm starts lift into the decomposed space (round 1 silently zeroed
+    them): restarting from the solution must cut iterations."""
+    from cosmo_tpu import problems
+
+    P, q, A, b, sets, _ = problems.banded_sdp(n_nodes=20, bandwidth=3, seed=8)
+    cold = ct.Model(ct.Settings(decompose=True, eps_abs=1e-7, eps_rel=1e-7))
+    cold.set(P, q, A, b, sets)
+    r1 = cold.optimize()
+    assert cold.is_decomposed and r1.status == "Solved"
+
+    warm = ct.Model(ct.Settings(decompose=True, eps_abs=1e-7, eps_rel=1e-7))
+    warm.set(P, q, A, b, sets)
+    warm.warm_start(x0=r1.x, y0=r1.y, s0=r1.s)
+    r2 = warm.optimize()
+    assert r2.status == "Solved"
+    assert r2.iter < r1.iter
+
+
 def test_update_after_decomposed_solve():
     """Updates stay legal after a decomposed solve (the decomposition is
     re-derived from the original data each optimize)."""

@@ -25,7 +25,7 @@ def _qp():
     return P, q, A, b, [ct.Nonnegatives(m)]
 
 
-@pytest.mark.parametrize("aa_type", ["type2", "type1"])
+@pytest.mark.parametrize("aa_type", ["type2", "type2_qr", "type1"])
 @pytest.mark.parametrize("memory", ["restarted", "rolling"])
 @pytest.mark.parametrize("activation", ["immediate", "iter", "accuracy"])
 @pytest.mark.parametrize("safeguard", [True, False])
@@ -43,6 +43,88 @@ def test_accelerator_combinations_solve(aa_type, memory, activation, safeguard):
     model.set(P, q, A, b, sets)
     res = model.optimize()
     assert res.status == "Solved"
+
+
+@pytest.mark.parametrize("regularizer", ["tikhonov", "frobenius"])
+def test_accelerator_regularizers_solve(regularizer):
+    """Reference parity: COSMOAccelerators' Tikonov/FrobeniusNorm
+    regularizer axis on the normal-equation accelerator solves."""
+    P, q, A, b, sets = _qp()
+    model = ct.Model(
+        ct.Settings(eps_abs=1e-7, eps_rel=1e-7,
+                    accelerator_regularizer=regularizer)
+    )
+    model.set(P, q, A, b, sets)
+    res = model.optimize()
+    assert res.status == "Solved"
+
+
+def test_auto_adaptive_rho_interval():
+    """adaptive_rho_interval=0 resolves the interval from a timed probe
+    chunk (reference: solver.jl:242-256) — a multiple of check_termination,
+    no recompile (the interval is a device scalar)."""
+    rng = np.random.default_rng(5)
+    n, m = 20, 30
+    M = rng.standard_normal((n, n))
+    P = M @ M.T / n + np.eye(n)
+    q = rng.standard_normal(n) * 3
+    A = rng.standard_normal((m, n))
+    b = A @ rng.standard_normal(n) + rng.random(m)
+    model = ct.Model(ct.Settings(adaptive_rho_interval=0, eps_abs=1e-8,
+                                 eps_rel=1e-8, check_termination=10))
+    model.set(P, q, A, b, [ct.Nonnegatives(m)])
+    r = model.optimize()
+    assert r.status == "Solved"
+    if model.auto_rho_interval is not None:  # not solved within the probe
+        assert model.auto_rho_interval % 10 == 0
+        assert model.auto_rho_interval >= 10
+
+
+def test_custom_kkt_solver_plugin():
+    """User KKT solver through the 4-method AbstractKKTSolver contract
+    (reference: kktsolver.jl:5-11): a plain jnp.linalg.solve plug-in must
+    reproduce the built-in dense solution and survive rho updates."""
+    P, q, A, b, sets = _qp()
+
+    def setup(Pm, Am, sigma, rho_vec):
+        n = Pm.shape[0]
+        M = Pm + sigma * jnp.eye(n, dtype=Pm.dtype) + Am.T @ (rho_vec[:, None] * Am)
+        return jnp.linalg.inv(M)
+
+    def solve(Minv, Pm, Am, sigma, rho_vec, r1, r2):
+        x = Minv @ (r1 + Am.T @ (rho_vec * r2))
+        nu = rho_vec * (Am @ x - r2)
+        return x, nu
+
+    custom = ct.CustomKKTSolver(setup=setup, solve=solve)
+    m1 = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8, kkt_solver=custom))
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert r1.status == "Solved"
+
+    m0 = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8))
+    m0.set(P, q, A, b, sets)
+    r0 = m0.optimize()
+    np.testing.assert_allclose(r1.x, r0.x, rtol=1e-5, atol=1e-7)
+
+    with pytest.raises(ValueError):
+        ct.CustomKKTSolver(setup=setup)
+
+
+def test_verbose_timing_populates_phase_timers():
+    """verbose_timing measures each phase kernel standalone and scales by
+    call count (reference phase timers: types.jl:26-58)."""
+    P, q, A, b, sets = _qp()
+    model = ct.Model(ct.Settings(verbose_timing=True, eps_abs=1e-6, eps_rel=1e-6))
+    model.set(P, q, A, b, sets)
+    r = model.optimize()
+    t = r.times
+    for name in ("scaling_time", "init_factor_time", "factor_update_time",
+                 "proj_time", "update_time", "accelerate_time",
+                 "setup_time", "graph_time", "iter_time", "post_time",
+                 "solver_time"):
+        assert np.isfinite(getattr(t, name)), name
+    assert t.proj_time > 0 and t.update_time > 0
 
 
 def test_settings_from_dict_and_unknown_key():
