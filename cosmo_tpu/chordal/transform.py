@@ -63,6 +63,11 @@ class ChordalInfo:
     mode: str = "compact"   # "compact" | "standard"
     H: object = None        # standard mode: scipy selector matrix [m_orig, nH]
     S: object = None        # compact mode: scipy row selector [m_new, m_orig]
+    # compact mode: decomposed-row indices of each overlap variable's +1
+    # (child) and -1 (parent) entry — the structure behind the
+    # overlap-block KKT preconditioner (ops/kkt.py OverlapPrecond)
+    ov_child_rows: object = None   # int64 [num_overlaps]
+    ov_parent_rows: object = None  # int64 [num_overlaps]
 
     def refresh_qb(self, q: np.ndarray, b: np.ndarray):
         """Re-derive the decomposed (q, b) from updated original vectors —
@@ -255,6 +260,8 @@ def compact_transform(
         row_map=row_map,
         num_overlaps=num_overlaps,
         S=S,
+        ov_child_rows=child,
+        ov_parent_rows=parent,
     )
 
 

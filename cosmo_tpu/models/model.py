@@ -313,6 +313,7 @@ class Model:
         )
         if use_sparse and settings.kkt_solver == KKT_DENSE:
             settings = settings.replace(kkt_solver=KKT_CG)
+        use_dense_kkt = settings.kkt_solver == KKT_DENSE
         static, dyn = split_settings(settings, m, n, dtype)
 
         if use_sparse:
@@ -344,6 +345,24 @@ class Model:
             x0d, s0d, mu0d = parallel.shard_vectors(mesh, x0d, s0d, mu0d)
         times.setup_time = time.perf_counter() - t_setup
 
+        # overlap-block Sherman-Morrison preconditioner for the CG KKT on
+        # compact-decomposed problems (ops/kkt.py OverlapPrecond)
+        kkt_precond = None
+        if (
+            settings.kkt_overlap_precond
+            and not use_dense_kkt
+            and chordal_info is not None
+            and chordal_info.mode == "compact"
+            and chordal_info.num_overlaps > 0
+            and chordal_info.ov_child_rows is not None
+        ):
+            from ..ops import kkt as kkt_ops
+
+            kkt_precond = kkt_ops.make_overlap_precond(
+                chordal_info.n_orig, chordal_info.ov_child_rows,
+                chordal_info.ov_parent_rows,
+            )
+
         if settings.verbose:
             from ..utils import printing
 
@@ -368,7 +387,7 @@ class Model:
                 # never recompiles.
                 dyn, carry0, out = self._resolve_auto_rho_interval(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
-                    settings, times,
+                    settings, times, kkt_precond,
                 )
             if out is not None:
                 pass  # the probe already finished the solve
@@ -378,18 +397,20 @@ class Model:
                 # behavior: Time_limit_reached, solver.jl:303-321)
                 out = self._solve_chunked(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
-                    settings, t_solver, dtype, carry0,
+                    settings, t_solver, dtype, carry0, kkt_precond,
                 )
             elif carry0 is not None:
                 out = solver_mod.solve_jit(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn,
                     static=static, carry_in=carry0, return_carry=True,
+                    kkt_precond=kkt_precond,
                 )
                 out = dict(out)
                 out.pop("carry")
             else:
                 out = solver_mod.solve_jit(
-                    Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static=static
+                    Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static=static,
+                    kkt_precond=kkt_precond,
                 )
         out = jax.tree_util.tree_map(np.asarray, out)
         times.iter_time = time.perf_counter() - t_iter
@@ -537,7 +558,7 @@ Model._measure_phase_times = _measure_phase_times
 
 
 def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
-                               dyn, static, settings, times):
+                               dyn, static, settings, times, kkt_precond=None):
     """Run two short probe chunks; time the second (the first absorbs any
     compile); set the interval so ~adaptive_rho_fraction of the setup time
     passes between adaptations, rounded to a multiple of check_termination.
@@ -547,7 +568,7 @@ def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
     out = solver_mod.solve_jit(
         Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         dyn._replace(max_iter=np.asarray(probe, np.int32)),
-        static=static, return_carry=True,
+        static=static, return_carry=True, kkt_precond=kkt_precond,
     )
     out = dict(out)
     carry = out.pop("carry")
@@ -558,6 +579,7 @@ def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         dyn._replace(max_iter=np.asarray(2 * probe, np.int32)),
         static=static, carry_in=carry, return_carry=True,
+        kkt_precond=kkt_precond,
     )
     out = dict(out)
     carry = out.pop("carry")
@@ -579,7 +601,7 @@ Model._resolve_auto_rho_interval = _resolve_auto_rho_interval
 
 
 def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
-                   settings, t_start, dtype, carry=None):
+                   settings, t_start, dtype, carry=None, kkt_precond=None):
     """Time-limited solve: run fixed-size chunks of the SAME compiled program
     (``max_iter`` is a device scalar) and re-enter with the full loop carry,
     so the iterate trajectory — rho state, accelerator history, CG warm
@@ -593,6 +615,7 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
             Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
             dyn._replace(max_iter=np.asarray(limit, np.int32)),
             static=static, carry_in=carry, return_carry=True,
+            kkt_precond=kkt_precond,
         )
         carry = out.pop("carry")
         status = int(out["status"])

@@ -21,14 +21,19 @@ which has the identical solution, by either
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
+import dataclasses
+
 from . import df32
 from .linops import diag_AtRhoA, diag_part, matvec, rmatvec
+from ..utils.pytrees import register_pytree_dataclass, static_field
 
 
 class DenseKKTState(NamedTuple):
@@ -79,6 +84,67 @@ def _reduced_matvec(P, A, sigma, rho_vec, v):
     return matvec(P, v) + sigma * v + rmatvec(A, rho_vec * matvec(A, v))
 
 
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class OverlapPrecond:
+    """Structure metadata for the compact decomposition's overlap block.
+
+    The reduced KKT matrix over the overlap variables (the +-1 consistency
+    columns the compact transform introduces, chordal/transform.py) is
+
+        M22 = diag(sigma + rho_child) + sum_p rho_p 1_Gp 1_Gp'
+
+    — diagonal plus one rank-1 term per parent row p over the group Gp of
+    overlap variables sharing it (each variable belongs to exactly one
+    group), so M22 is block-diagonal with closed-form Sherman-Morrison
+    inverses.  Preconditioning CG with [Jacobi on the original columns;
+    exact M22^-1 on the overlap columns] targets the round-1 bottleneck of
+    ~24 CG iterations per ADMM iteration on decomposed problems.
+    """
+
+    n0: int = static_field()        # number of original (non-overlap) columns
+    n_groups: int = static_field()
+    child_rows: Any = None          # int32 [K] decomposed row of each +1 entry
+    group: Any = None               # int32 [K] densified parent-row group id
+    group_parent_row: Any = None    # int32 [G] row of each group's parent
+
+
+def make_overlap_precond(n0: int, child_rows, parent_rows) -> OverlapPrecond:
+    """Build the metadata host-side from the transform's overlap row lists."""
+    uniq, inverse = np.unique(np.asarray(parent_rows), return_inverse=True)
+    return OverlapPrecond(
+        n0=int(n0),
+        n_groups=int(uniq.size),
+        child_rows=np.asarray(child_rows, np.int32),
+        group=np.asarray(inverse, np.int32),
+        group_parent_row=np.asarray(uniq, np.int32),
+    )
+
+
+def _make_precond_apply(P, A, sigma, rho_vec, precond):
+    """Return the preconditioner application closure z = Minv_hat r."""
+    dinv = 1.0 / (diag_part(P) + sigma + diag_AtRhoA(A, rho_vec))
+    if precond is None:
+        return lambda r: dinv * r
+
+    n0 = precond.n0
+    G = precond.n_groups
+    d2 = sigma + rho_vec[precond.child_rows]
+    rho_p = rho_vec[precond.group_parent_row]
+    sd = jax.ops.segment_sum(1.0 / d2, precond.group, num_segments=G)
+    denom = 1.0 + rho_p * sd
+
+    def apply(r):
+        z1 = dinv[:n0] * r[:n0]
+        w = r[n0:] / d2
+        sw = jax.ops.segment_sum(w, precond.group, num_segments=G)
+        coef = rho_p * sw / denom
+        z2 = w - coef[precond.group] / d2
+        return jnp.concatenate([z1, z2])
+
+    return apply
+
+
 def _cg_target(t, sched, res_min):
     """Absolute CG/MINRES residual target.
 
@@ -106,7 +172,7 @@ def _cg_target(t, sched, res_min):
 
 
 def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, sched, res_min, max_iter: int,
-             refine_steps: int = 0):
+             refine_steps: int = 0, precond: OverlapPrecond | None = None):
     """Preconditioned CG on M x = r1 + A'(rho r2), warm-started at x0.
 
     Jacobi preconditioner diag(M); fixed-shape lax.while_loop with early
@@ -125,7 +191,7 @@ def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, sched, res_min, max_iter: int,
         t = df32.to_f32(t_pair)
     else:
         t = r1 + rmatvec(A, rho_vec * r2)
-    dinv = 1.0 / (diag_part(P) + sigma + diag_AtRhoA(A, rho_vec))
+    prec = _make_precond_apply(P, A, sigma, rho_vec, precond)
 
     def mv(v):
         return _reduced_matvec(P, A, sigma, rho_vec, v)
@@ -133,7 +199,7 @@ def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, sched, res_min, max_iter: int,
     target = _cg_target(t, sched, res_min)
 
     def sweep(x, r, k):
-        z = dinv * r
+        z = prec(r)
         p = z
         rz = jnp.dot(r, z)
 
@@ -147,7 +213,7 @@ def cg_solve(P, A, sigma, rho_vec, r1, r2, x0, sched, res_min, max_iter: int,
             alpha = rz / jnp.dot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
-            z = dinv * r
+            z = prec(r)
             rz_new = jnp.dot(r, z)
             beta = rz_new / rz
             p = z + beta * p

@@ -126,6 +126,10 @@ class Settings:
     # 0 in f64. Applies to the dense Cholesky solve and as
     # compensated-residual restarts to CG/MINRES.
     kkt_refine_steps: int = -1
+    # Structure-aware CG preconditioner for the compact decomposition's
+    # overlap block (exact Sherman-Morrison inverse of sigma I + O' rho O,
+    # ops/kkt.py OverlapPrecond); Jacobi elsewhere.
+    kkt_overlap_precond: bool = True
     # --- TPU-specific knobs (no reference equivalent) ---
     # Problem-matrix representation: "auto" keeps scipy-sparse inputs sparse
     # (COO segment-sum matvecs + matrix-free CG KKT); True forces sparse;

@@ -86,7 +86,7 @@ def _classify_rows(cones, b, lb, ub, dyn):
 
 
 def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
-          carry_in=None, return_carry: bool = False):
+          carry_in=None, return_carry: bool = False, kkt_precond=None):
     """Full solve on device. All inputs are device arrays / pytrees; `static`
     is hashable config. Wrap with jax.jit(static_argnums=(..,)) upstream.
 
@@ -163,9 +163,14 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 if static.kkt_solver == KKT_MINRES
                 else kkt_ops.cg_solve
             )
+            extra = (
+                {"precond": kkt_precond}
+                if static.kkt_solver != KKT_MINRES
+                else {}
+            )
             xt, nu, k = solve_fn(
                 P, A, dyn.sigma, rho_vec, r1, r2, sol_prev[:n], sched, res_min,
-                static.kkt_cg_max_iter, static.kkt_refine_steps,
+                static.kkt_cg_max_iter, static.kkt_refine_steps, **extra,
             )
         return xt, nu, jnp.asarray(k, jnp.int32)
 
