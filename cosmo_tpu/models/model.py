@@ -369,7 +369,14 @@ class Model:
             printing.print_header(self, m, n, sets=sets, chordal_info=chordal_info)
 
         t_iter = time.perf_counter()
-        with jax.default_matmul_precision(settings.matmul_precision):
+        import contextlib
+
+        profile_ctx = (
+            jax.profiler.trace(settings.profile_dir)
+            if settings.profile_dir
+            else contextlib.nullcontext()
+        )
+        with profile_ctx, jax.default_matmul_precision(settings.matmul_precision):
             carry0 = None
             out = None
             if (

@@ -146,6 +146,11 @@ class Settings:
     jacobi_sweeps: int = 8
     # Use float64 where available (CPU); float32 otherwise.
     dtype: Any = None
+    # When set, the device execution of the solve is captured with
+    # jax.profiler.trace into this directory (open with TensorBoard /
+    # xprof) — the TPU-native analog of the reference's verbose_timing
+    # phase breakdown at kernel granularity.
+    profile_dir: Any = None
     # Matmul precision for the solve. On TPU, float32 matmuls default to
     # bfloat16 passes, which caps achievable residuals around 1e-3; 'highest'
     # uses enough passes for true fp32 accuracy (needed for 1e-4/1e-5

@@ -80,6 +80,43 @@ def test_auto_adaptive_rho_interval():
         assert model.auto_rho_interval >= 10
 
 
+def test_rho_log_overflow_capped():
+    """More rho adaptations than the RHO_LOG_LEN=64 ring can hold must not
+    crash or corrupt the result; the log keeps the first entries and the
+    count keeps counting (reference: unbounded rho_updates vector,
+    parameters.jl:86)."""
+    from cosmo_tpu import solver as solver_mod
+
+    rng = np.random.default_rng(9)
+    n, m = 6, 9
+    M = rng.standard_normal((n, n))
+    P = M @ M.T / n
+    A = rng.standard_normal((m, n))
+    b = A @ rng.standard_normal(n) + rng.random(m)
+    model = ct.Model(ct.Settings(
+        eps_abs=0.0, eps_rel=0.0, max_iter=3000,
+        adaptive_rho_interval=2,            # adapt as often as possible
+        adaptive_rho_tolerance=1.0 + 1e-12,  # every check changes rho
+        accelerator=None,
+    ))
+    model.set(P, rng.standard_normal(n), A, b, [ct.Nonnegatives(m)])
+    res = model.optimize()
+    rl = np.asarray(res.info.rho_updates)
+    assert len(rl) <= solver_mod.RHO_LOG_LEN
+    assert np.all(np.isfinite(rl))
+    assert np.all(rl > 0)
+
+
+def test_set_csc_triangle_dims_convention():
+    """set_csc's cone dict "s" entries are svec triangle dims (reference:
+    convex_sets_from_dict, interface.jl:330-336), NOT matrix side lengths."""
+    from cosmo_tpu.models.model import cone_sets_from_dict
+
+    sets = cone_sets_from_dict({"f": 1, "s": [6, 10]})
+    assert isinstance(sets[1], ct.PsdConeTriangle) and sets[1].side == 3
+    assert isinstance(sets[2], ct.PsdConeTriangle) and sets[2].side == 4
+
+
 def test_custom_kkt_solver_plugin():
     """User KKT solver through the 4-method AbstractKKTSolver contract
     (reference: kktsolver.jl:5-11): a plain jnp.linalg.solve plug-in must
