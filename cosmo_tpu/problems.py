@@ -163,11 +163,24 @@ def banded_sdp(n_nodes: int = 200, bandwidth: int = 8, seed: int = 0,
     bandwidth+1.  Same structure as :func:`maxcut` with a banded Laplacian.
     """
     rng = np.random.default_rng(seed)
-    Wb = np.zeros((n_nodes, n_nodes), dtype=dtype)
-    for k in range(1, bandwidth + 1):
-        v = rng.random(n_nodes - k).astype(dtype)
-        Wb += np.diag(v, k) + np.diag(v, -k)
-    Lap = np.diag(Wb.sum(1)) - Wb
+    sparse = sparse or n_nodes > 1500   # dense A would be O(n^3/2) memory
+    if sparse:
+        import scipy.sparse as sp
+
+        diags = []
+        offs = []
+        for k in range(1, bandwidth + 1):
+            v = rng.random(n_nodes - k).astype(dtype)
+            diags += [v, v]
+            offs += [k, -k]
+        Wb = sp.diags(diags, offs, shape=(n_nodes, n_nodes), format="csr")
+        Lap = sp.diags(np.asarray(Wb.sum(axis=1)).ravel()) - Wb
+    else:
+        Wb = np.zeros((n_nodes, n_nodes), dtype=dtype)
+        for k in range(1, bandwidth + 1):
+            v = rng.random(n_nodes - k).astype(dtype)
+            Wb += np.diag(v, k) + np.diag(v, -k)
+        Lap = np.diag(Wb.sum(1)) - Wb
     return _dual_form_sdp(Lap, dtype, sparse=sparse) + (Lap,)
 
 

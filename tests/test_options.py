@@ -117,6 +117,25 @@ def test_set_csc_triangle_dims_convention():
     assert isinstance(sets[2], ct.PsdConeTriangle) and sets[2].side == 4
 
 
+def test_set_csc_end_to_end():
+    """CSC-triplet entry with an SCS-style cone dict (the cosmo-python path,
+    reference: interface_python.jl): same solution as set()."""
+    import scipy.sparse as sp
+
+    P, q, A, b, sets = _qp()
+    Pc = sp.csc_matrix(P)
+    Ac = sp.csc_matrix(A)
+    m1 = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8))
+    m1.set_csc(Pc.data, Pc.indices, Pc.indptr, q, Ac.data, Ac.indices,
+               Ac.indptr, b, {"l": A.shape[0]})
+    r1 = m1.optimize()
+    m2 = ct.Model(ct.Settings(eps_abs=1e-8, eps_rel=1e-8))
+    m2.set(P, q, A, b, sets)
+    r2 = m2.optimize()
+    assert r1.status == "Solved"
+    np.testing.assert_allclose(r1.x, r2.x, atol=1e-7)
+
+
 def test_custom_kkt_solver_plugin():
     """User KKT solver through the 4-method AbstractKKTSolver contract
     (reference: kktsolver.jl:5-11): a plain jnp.linalg.solve plug-in must
