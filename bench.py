@@ -115,7 +115,8 @@ def _kkt_flops_per_iter(m, n, refine_steps):
     return base + refine_steps * per_refine
 
 
-def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto"):
+def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto",
+                     refine_steps=-1):
     import jax
     import jax.numpy as jnp
 
@@ -136,12 +137,14 @@ def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto"):
         eps_prim_inf=0.0, eps_dual_inf=0.0,     # static infeasibility off
         accelerator=None, adaptive_rho=False,
         check_termination=25, scaling=10,
+        kkt_refine_steps=refine_steps,
     )
     cones = conedata.compile_cones(
         sets, dtype=dtype, psd_pad_to=8, eigh_backend=eigh_backend,
         jacobi_sweeps=6,
     )
-    static, dyn = split_settings(settings, m, n, dtype)
+    # block_sdp has no rho_eq-amplified rows, so auto refinement is off
+    static, dyn = split_settings(settings, m, n, dtype, refine_hint=False)
 
     Pd, Ad, qd, bd = (jnp.asarray(v, dtype) for v in (P, A, q, b))
     x0 = jnp.zeros(n, dtype)
@@ -218,6 +221,9 @@ def main():
     P, q, A, b, sets = s1.pop("problem")
     base_ips = _numpy_baseline(P, q, A, b, N_BLOCKS, SIDE, BASE_ITERS)
 
+    s1r = _bench_block_sdp(N_BLOCKS, SIDE, NVAR, "block_sdp_512x16_refined",
+                           refine_steps=1)
+    s1r.pop("problem")
     s2 = _bench_block_sdp(8, 256, 256, "block_sdp_8x256")
     s2.pop("problem")
     s3 = _bench_maxcut_sparse()
@@ -229,7 +235,7 @@ def main():
                 "value": s1["iters_per_s"],
                 "unit": "iter/s",
                 "vs_baseline": round(s1["iters_per_s"] / base_ips, 3),
-                "shapes": [s1, s2, s3],
+                "shapes": [s1, s1r, s2, s3],
                 "cpu_baseline_iters_per_s": round(base_ips, 2),
             }
         )

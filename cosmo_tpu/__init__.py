@@ -24,8 +24,14 @@ import jax as _jax
 
 # persistent XLA compilation cache: the jitted solve programs are large
 # (batched projection kernels + KKT loop); caching them across processes
-# turns minute-scale TPU compiles into cache hits
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+# turns minute-scale TPU compiles into cache hits.
+# CPU-pinned runs skip it: XLA:CPU AOT cache entries bake in the compile
+# host's CPU feature set, and reloading them on a different host (this
+# container migrates) can SIGILL/segfault mid-suite.
+_platforms = (
+    _os.environ.get("JAX_PLATFORMS", "") or _os.environ.get("JAX_PLATFORM_NAME", "")
+).lower()
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") and _platforms != "cpu":
     try:
         _jax.config.update(
             "jax_compilation_cache_dir",

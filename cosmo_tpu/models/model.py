@@ -314,7 +314,13 @@ class Model:
         if use_sparse and settings.kkt_solver == KKT_DENSE:
             settings = settings.replace(kkt_solver=KKT_CG)
         use_dense_kkt = settings.kkt_solver == KKT_DENSE
-        static, dyn = split_settings(settings, m, n, dtype)
+        refine_hint = any(
+            isinstance(s, C.ZeroSet)
+            or (isinstance(s, C.Box) and np.any(s.l == s.u))
+            for s in sets
+        )
+        static, dyn = split_settings(settings, m, n, dtype,
+                                     refine_hint=refine_hint)
 
         if use_sparse:
             Pd = linops.coo_from_scipy(sp.csr_matrix(P), dtype)
@@ -508,8 +514,9 @@ def _measure_phase_times(self, times, Pd, Ad, qd, bd, cones, dyn, static,
     m, n = static.m, static.n
     w2 = jnp.asarray(np.asarray(bd), dtype)
 
+    eig0 = projections.init_eig_state(cones, dtype)
     proj_fn = jax.jit(projections.project)
-    times.proj_time = timed(proj_fn, w2, cones) * n_iter
+    times.proj_time = timed(proj_fn, w2, cones, eig0) * n_iter
 
     rho_vec = jnp.full(m, dyn.rho, dtype)
     if static.scaling_iters > 0:

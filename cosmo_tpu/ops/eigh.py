@@ -175,22 +175,25 @@ def _jacobi_eigh_transposed(X, sweeps: int):
     return w.T, jnp.transpose(V, (2, 0, 1))
 
 
-def jacobi_eigh(X, sweeps: int = 8, method: str = "vec"):
+def jacobi_eigh(X, sweeps=8, method: str = "vec", V0=None):
     """Eigendecomposition of a stack of symmetric matrices [B, k, k].
 
     Returns (w, V) with w unsorted; X = V diag(w) V' up to rounding.
     k must be even (PSD buckets are padded to a multiple of 8).
     ``method``: "vec" (row/col VPU updates) or "mm" (packed-rotation
-    batched matmuls)."""
+    batched matmuls). ``sweeps`` may be a traced scalar (the amortized
+    projection picks it from the measured off-diagonal mass).  ``V0``
+    accumulates rotations on top of an existing basis (V_total = V0 Q)."""
     B, k, _ = X.shape
     if k % 2 != 0:
         w, V = jnp.linalg.eigh(X)
         return w, V
-    if method == "vecT":
+    if method == "vecT" and V0 is None:
         return _jacobi_eigh_transposed(jnp.transpose(X, (1, 2, 0)), sweeps)
     rounds = _round_robin_rounds(k)
-    V0 = jnp.broadcast_to(jnp.eye(k, dtype=X.dtype), (B, k, k))
-    apply = _apply_round_vec if method == "vec" else _apply_round
+    if V0 is None:
+        V0 = jnp.broadcast_to(jnp.eye(k, dtype=X.dtype), (B, k, k))
+    apply = _apply_round_vec if method in ("vec", "vecT") else _apply_round
 
     def one_sweep(_, carry):
         X, V = carry
@@ -245,6 +248,53 @@ def psd_project_jacobi(X, sweeps: int = 8, method: str = "vec"):
     w, V = jacobi_eigh(X, sweeps, method)
     wp = jnp.maximum(w, 0.0)
     return jnp.einsum("bik,bk,bjk->bij", V, wp, V)
+
+
+def psd_project_amortized(X, V_prev, warm_sweeps: int = 2,
+                          full_sweeps: int = 8, method: str = "vec"):
+    """PSD projection with the eigenbasis amortized across ADMM iterations
+    (the approximate-projection direction of Garstka et al.,
+    arXiv:1912.02767; reference hot kernel: convexset.jl:163-263).
+
+    ADMM iterates drift slowly, so last iteration's eigenvectors nearly
+    diagonalize this iteration's block: rotate W = V' X V (2 batched
+    matmuls), then run only ``warm_sweeps`` Jacobi sweeps on the
+    near-diagonal W — falling back to ``full_sweeps`` whenever the measured
+    off-diagonal mass says the basis went stale (first iteration, rho
+    re-expressions, accepted acceleration jumps).  The sweep count is a
+    traced scalar, so both regimes share one compiled loop.
+
+    ``V_prev`` is re-orthonormalized with one Newton-Schulz step each call
+    (V (3I - V'V)/2), so rounding drift never compounds across thousands of
+    iterations.  Returns (projection, V_new).
+    """
+    dtype = X.dtype
+    B, k, _ = X.shape
+
+    def mm(U, W):
+        return jnp.einsum("bij,bjk->bik", U, W)
+
+    # one Newton-Schulz orthonormalization step (exact identity stays exact,
+    # so padded lanes are untouched)
+    eye = jnp.eye(k, dtype=dtype)
+    V_prev = 0.5 * mm(V_prev, 3.0 * jnp.broadcast_to(eye, (B, k, k))
+                      - mm(jnp.swapaxes(V_prev, -1, -2), V_prev))
+
+    W = mm(jnp.swapaxes(V_prev, -1, -2), mm(X, V_prev))
+    W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+
+    diag = jnp.diagonal(W, axis1=-2, axis2=-1)
+    off2 = jnp.sum(W * W, axis=(-2, -1)) - jnp.sum(diag * diag, axis=-1)
+    tot2 = jnp.sum(W * W, axis=(-2, -1))
+    # stale iff any block's off-diagonal mass exceeds ~9% of its energy
+    stale = jnp.any(off2 > 0.09 * tot2 + jnp.asarray(
+        np.finfo(np.dtype(dtype)).tiny, dtype))
+    sweeps = jnp.where(stale, full_sweeps, warm_sweeps)
+
+    w, V = jacobi_eigh(W, sweeps, method, V0=V_prev)
+    wp = jnp.maximum(w, 0.0)
+    P = jnp.einsum("bik,bk,bjk->bij", V, wp, V)
+    return 0.5 * (P + jnp.swapaxes(P, -1, -2)), V
 
 
 def min_max_eig_jacobi(X, sweeps: int = 8, method: str = "vec"):

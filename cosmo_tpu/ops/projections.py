@@ -75,11 +75,33 @@ def _psd_project_bucket(X, cones: ConeData):
     return jnp.einsum("bik,bk,bjk->bij", V, wp, V)
 
 
-def project(w2, cones: ConeData):
+def init_eig_state(cones: ConeData, dtype):
+    """Initial per-bucket eigenbasis carry for the ``"amortized"`` PSD
+    backend (identity stacks — the first projection falls back to full
+    sweeps via the staleness guard); empty for stateless backends."""
+    from .conedata import resolve_eigh_backend
+
+    if resolve_eigh_backend(cones.eigh_backend) != "amortized":
+        return ()
+    return tuple(
+        jnp.broadcast_to(
+            jnp.eye(b.side, dtype=dtype),
+            (b.gather_idx.shape[0], b.side, b.side),
+        )
+        for b in cones.psd_buckets
+    )
+
+
+def project(w2, cones: ConeData, eig_state=()):
     """s = Pi_K(w2): project the slack part of the operator variable onto K.
+    Returns ``(s, eig_state)`` — the state is non-empty only for the
+    ``"amortized"`` PSD backend (eigenbasis carried across iterations).
 
     Replaces admm_z!'s projection fan-out (reference: src/solver.jl:7-21,
     convexset.jl:885-891)."""
+    from .conedata import resolve_eigh_backend
+
+    backend = resolve_eigh_backend(cones.eigh_backend)
     s = jnp.clip(w2, cones.lb, cones.ub)
     v_ext = _ext(w2)
 
@@ -88,9 +110,17 @@ def project(w2, cones: ConeData):
         P = _soc_project_bucket(X)
         s = _ext(s).at[bucket.idx].set(P)[:-1]
 
-    for bucket in cones.psd_buckets:
+    new_state = []
+    for i, bucket in enumerate(cones.psd_buckets):
         X = _psd_gather(v_ext, bucket)
-        Y = _psd_project_bucket(X, cones)
+        if backend == "amortized":
+            Y, V = eigh_mod.psd_project_amortized(
+                X, eig_state[i], warm_sweeps=2,
+                full_sweeps=cones.jacobi_sweeps,
+            )
+            new_state.append(V)
+        else:
+            Y = _psd_project_bucket(X, cones)
         s = _ext(s).at[bucket.scatter_idx].set(Y * bucket.scatter_scale)[:-1]
 
     if cones.exp.idx.shape[0] > 0:
@@ -112,7 +142,7 @@ def project(w2, cones: ConeData):
         v = lax.dynamic_slice(w2, (offset,), (cone.dim,))
         s = lax.dynamic_update_slice(s, cone.project(v), (offset,))
 
-    return s
+    return s, tuple(new_state)
 
 
 # ----------------------------------------------------------------------

@@ -115,16 +115,19 @@ class Settings:
     safeguard: bool = True
     safeguard_tol: float = 2.0
     # KKT indirect-solver controls (reference: kktsolver_indirect.jl:168-170;
-    # default constant tightened 1.0 -> 1e-2: with safeguarded Anderson
-    # acceleration the looser schedule stalls the outer ADMM iteration)
-    kkt_cg_tol_constant: float = 1e-2
+    # reference default 1.0, tightened to 0.1: the absolute target is
+    # sched/||rhs|| ∧ 0.1*admm_residual, and measured total inner-iteration
+    # counts on decomposed SDPs are lowest around 0.1)
+    kkt_cg_tol_constant: float = 0.1
     kkt_cg_tol_exponent: float = 1.5
     kkt_cg_max_iter: int = 250
     # Iterative-refinement steps for the KKT solve with the residual in
     # compensated double-f32 arithmetic (ops/df32.py). -1 = auto: 1 in f32
-    # (the kappa*eps forward error otherwise floors ADMM around 1e-3..1e-4),
-    # 0 in f64. Applies to the dense Cholesky solve and as
-    # compensated-residual restarts to CG/MINRES.
+    # when the problem carries rho_eq-amplified rows (ZeroSet, or Box rows
+    # with l == u) whose 1e3x weighting makes kappa(M)*eps floor plain-f32
+    # ADMM around 1e-3..1e-4; 0 otherwise (refinement costs extra matvecs
+    # and triangular solves per iteration). Applies to the dense Cholesky
+    # solve and as compensated-residual restarts to CG/MINRES.
     kkt_refine_steps: int = -1
     # Structure-aware CG preconditioner for the compact decomposition's
     # overlap block (exact Sherman-Morrison inverse of sigma I + O' rho O,
@@ -141,7 +144,9 @@ class Settings:
     psd_pad_to: int = 8
     # Batched-eig backend for the PSD projection: "auto" (Pallas Jacobi
     # kernel on TPU, XLA/LAPACK eigh elsewhere), "xla", "jacobi",
-    # "jacobi_mm", or "pallas".
+    # "jacobi_mm", "pallas", "polar", or "amortized" (eigenbasis carried
+    # across ADMM iterations: rotate into last iteration's basis + 2 warm
+    # Jacobi sweeps, full sweeps whenever the basis goes stale).
     eigh_backend: str = "auto"
     jacobi_sweeps: int = 8
     # Use float64 where available (CPU); float32 otherwise.
@@ -236,8 +241,14 @@ class DynConfig(NamedTuple):
     kkt_cg_tol_exponent: Any
 
 
-def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticConfig, DynConfig]:
-    """Split user settings into (static, dynamic) solve configuration."""
+def split_settings(settings: Settings, m: int, n: int, dtype,
+                   refine_hint: bool = True) -> tuple[StaticConfig, DynConfig]:
+    """Split user settings into (static, dynamic) solve configuration.
+
+    ``refine_hint``: whether the problem structure warrants the f32 KKT
+    refinement when ``kkt_refine_steps`` is auto (-1) — the Model passes
+    True iff rho_eq-amplified rows exist (ZeroSet / Box with l == u).
+    """
     accel_mem = settings.accelerator_mem if settings.accelerator == "anderson" else 0
     static = StaticConfig(
         check_termination=int(settings.check_termination),
@@ -254,7 +265,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype) -> tuple[StaticCon
         kkt_cg_max_iter=int(settings.kkt_cg_max_iter),
         kkt_refine_steps=(
             int(settings.kkt_refine_steps) if settings.kkt_refine_steps >= 0
-            else (1 if np.dtype(dtype) == np.float32 else 0)
+            else (1 if np.dtype(dtype) == np.float32 and refine_hint else 0)
         ),
         accel_mem=int(accel_mem),
         accel_activation=settings.accelerator_activation,

@@ -61,6 +61,7 @@ class LoopCarry(NamedTuple):
     n_rho_adapt: Any
     rho_log: Any           # [RHO_LOG_LEN]
     aa: Any                # AccelState or ()
+    eig: Any               # per-PSD-bucket eigenbasis carry (amortized) or ()
 
 
 def _make_rho_vec(rho, rho_class, dyn):
@@ -213,6 +214,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             aa0 = accel.init_accel(n + m, static.accel_mem, dtype)
         else:
             aa0 = ()
+        eig0 = projections.init_eig_state(cones, dtype)
 
         carry0 = LoopCarry(
             w=w0, w_prev=w0, s=s0v,
@@ -234,6 +236,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             n_rho_adapt=jnp.zeros((), jnp.int32),
             rho_log=rho_log,
             aa=aa0,
+            eig=eig0,
         )
 
     # ------------------------------------------------------------------
@@ -393,8 +396,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
         # --- ADMM step ---
         c = c._replace(w_prev=c.w)
-        s = projections.project(c.w[n:], cones)
-        c = c._replace(s=s)
+        s, eig = projections.project(c.w[n:], cones, c.eig)
+        c = c._replace(s=s, eig=eig)
 
         # --- rho adaptation rules (solver.jl:242-282) ---
         if static.adaptive_rho:

@@ -48,3 +48,52 @@ def test_solver_with_jacobi_backend():
     assert r0.status == "Solved" and r1.status == "Solved"
     assert abs(r0.obj_val - r1.obj_val) < 1e-4
     assert np.allclose(r0.x, r1.x, atol=1e-4)
+
+
+def test_amortized_projection_tracks_slow_drift():
+    """The amortized backend must match a fresh full eigendecomposition
+    while the input drifts slowly (the ADMM regime), including across a
+    sudden jump (staleness fallback)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cosmo_tpu.ops import eigh as eigh_mod
+
+    rng = np.random.default_rng(3)
+    B, k = 8, 16
+    M = rng.standard_normal((B, k, k))
+    X = jnp.asarray((M + np.transpose(M, (0, 2, 1))) / 2)
+    V = jnp.broadcast_to(jnp.eye(k), (B, k, k))
+    D = rng.standard_normal((B, k, k)) * 0.01
+    D = jnp.asarray((D + np.transpose(D, (0, 2, 1))) / 2)
+
+    for step in range(25):
+        if step == 12:  # sudden jump -> staleness guard must recover
+            J = rng.standard_normal((B, k, k)) * 2.0
+            X = X + jnp.asarray((J + np.transpose(J, (0, 2, 1))) / 2)
+        P, V = eigh_mod.psd_project_amortized(X, V, warm_sweeps=2,
+                                              full_sweeps=10)
+        w, Q = np.linalg.eigh(np.asarray(X))
+        P_ref = np.einsum("bik,bk,bjk->bij", Q, np.maximum(w, 0.0), Q)
+        err = np.abs(np.asarray(P) - P_ref).max()
+        assert err < 5e-7, (step, err)
+        X = X + D  # slow drift
+
+
+def test_amortized_backend_end_to_end():
+    """Full solve with eigh_backend='amortized' matches the xla backend."""
+    import numpy as np
+    import cosmo_tpu as ct
+    from cosmo_tpu.problems import block_sdp
+
+    P, q, A, b, sets = block_sdp(n_blocks=12, side=8, n=48, seed=5)
+    res = {}
+    for be in ("xla", "amortized"):
+        m = ct.Model(ct.Settings(eps_abs=1e-7, eps_rel=1e-7,
+                                 eigh_backend=be, jacobi_sweeps=10))
+        m.set(P, q, A, b, sets)
+        r = m.optimize()
+        assert r.status == "Solved", be
+        res[be] = r
+    assert abs(res["amortized"].obj_val - res["xla"].obj_val) < 1e-5
+    np.testing.assert_allclose(res["amortized"].x, res["xla"].x,
+                               rtol=1e-4, atol=1e-5)

@@ -19,7 +19,7 @@ RNG = np.random.default_rng(12345)
 
 def _project(sets, v, psd_pad_to=8):
     cd = conedata.compile_cones(sets, dtype=np.float64, psd_pad_to=psd_pad_to)
-    return np.asarray(projections.project(jnp.asarray(v), cd)), cd
+    return np.asarray(projections.project(jnp.asarray(v), cd)[0]), cd
 
 
 def test_zero_nonneg_box():

@@ -126,8 +126,22 @@ def test_sharded_uneven_blocks():
 
 
 def test_graft_dryrun():
+    """Run the driver's multichip dryrun in a fresh process, exactly as the
+    driver does (and because XLA:CPU's compiler can abort when asked to
+    compile the large sharded program inside a process that already
+    compiled the whole suite)."""
+    import os
+    import pathlib
+    import subprocess
     import sys
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__
 
-    __graft_entry__.dryrun_multichip(8)
+    root = pathlib.Path(__file__).parent.parent
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
