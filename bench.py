@@ -3,8 +3,9 @@
 Shapes (the decomposed-SDP spectrum, SURVEY.md §2.14-2.17 / BASELINE.md):
 
 1. ``block_sdp_512x16``  — 512 PSD blocks of side 16, n=512 (many small
-   cliques; Pallas Jacobi projection path; dense Cholesky KKT).  This is the
-   headline metric, identical to round 1 for comparability.
+   cliques; dense Cholesky KKT; the auto-resolved projection backend, plus
+   a Pallas-kernel variant as its own shape).  This is the headline metric,
+   identical to round 1 for comparability.
 2. ``block_sdp_8x256``   — 8 PSD blocks of side 256, n=256 (large blocks;
    Newton-Schulz polar projection path on the MXU).
 3. ``maxcut_2000_sparse``— chordally decomposed 2000-node maxcut (sparse
@@ -224,6 +225,11 @@ def main():
     s1r = _bench_block_sdp(N_BLOCKS, SIDE, NVAR, "block_sdp_512x16_refined",
                            refine_steps=1)
     s1r.pop("problem")
+    # the Pallas Jacobi kernel showcase (opt-in: it intermittently faults
+    # the TPU worker under sustained runs, so "auto" resolves to polar)
+    s1p = _bench_block_sdp(N_BLOCKS, SIDE, NVAR, "block_sdp_512x16_pallas",
+                           eigh_backend="pallas")
+    s1p.pop("problem")
     s2 = _bench_block_sdp(8, 256, 256, "block_sdp_8x256")
     s2.pop("problem")
     s3 = _bench_maxcut_sparse()
@@ -235,7 +241,7 @@ def main():
                 "value": s1["iters_per_s"],
                 "unit": "iter/s",
                 "vs_baseline": round(s1["iters_per_s"] / base_ips, 3),
-                "shapes": [s1, s1r, s2, s3],
+                "shapes": [s1, s1r, s1p, s2, s3],
                 "cpu_baseline_iters_per_s": round(base_ips, 2),
             }
         )

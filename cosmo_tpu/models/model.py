@@ -314,11 +314,16 @@ class Model:
         if use_sparse and settings.kkt_solver == KKT_DENSE:
             settings = settings.replace(kkt_solver=KKT_CG)
         use_dense_kkt = settings.kkt_solver == KKT_DENSE
+        # rho_eq-amplified rows (ZeroSet / Box l==u) or compact-decomposition
+        # overlap columns (separator conditioning) both push kappa(M) into
+        # the regime where plain-f32 KKT solves floor the iterate: measured,
+        # the decomposed banded-1k SDP stalls at 5e-4 without refinement and
+        # solves to 1e-5 with it
         refine_hint = any(
             isinstance(s, C.ZeroSet)
             or (isinstance(s, C.Box) and np.any(s.l == s.u))
             for s in sets
-        )
+        ) or (chordal_info is not None and chordal_info.num_overlaps > 0)
         static, dyn = split_settings(settings, m, n, dtype,
                                      refine_hint=refine_hint)
 

@@ -141,11 +141,12 @@ def resolve_eigh_backend(requested: str, buckets=None) -> str:
     Used by :func:`compile_cones` (which sees all PSD buckets) and by the
     projection fallback for hand-built :class:`ConeData` (``buckets=None``,
     which resolves conservatively). Off-TPU, LAPACK/XLA eigh always wins.
-    On TPU the Pallas Jacobi kernel is selected only for a *single* bucket of
-    side <= 16: the serial in-kernel rotation chain loses to the
-    Newton-Schulz polar projection for larger k, and programs mixing several
-    small-block kernel shapes have triggered TPU-worker kernel faults — the
-    polar path (pure batched matmuls) is the robust default.
+    On TPU, ``"auto"`` resolves to the Newton-Schulz polar projection (pure
+    batched matmuls): the Pallas Jacobi kernel is ~2x faster on stacks of
+    tiny blocks but intermittently faults the TPU worker under sustained
+    multi-thousand-iteration execution (measured: 20000-iteration decomposed
+    solves die with it and complete with polar), so it stays opt-in
+    (``eigh_backend="pallas"``) until the kernel fault is fixed.
     """
     if requested != "auto":
         return requested
@@ -153,10 +154,6 @@ def resolve_eigh_backend(requested: str, buckets=None) -> str:
 
     if jax.default_backend() != "tpu":
         return "xla"
-    if buckets is not None:
-        small = [b for b in buckets if b.side <= 48]
-        if len(small) == 1 and len(buckets) == 1 and small[0].side <= 16:
-            return "pallas"
     return "polar"
 
 

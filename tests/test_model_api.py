@@ -211,6 +211,28 @@ def test_warm_start_composes_with_decomposition():
     assert r2.iter < r1.iter
 
 
+def test_warm_start_composes_with_standard_transform():
+    """Warm-start lifting for the standard (Agler) decomposition mode."""
+    from cosmo_tpu import problems
+
+    P, q, A, b, sets, _ = problems.banded_sdp(n_nodes=15, bandwidth=3, seed=8)
+    settings = ct.Settings(decompose=True, compact_transformation=False,
+                           eps_abs=1e-7, eps_rel=1e-7)
+    cold = ct.Model(settings)
+    cold.set(P, q, A, b, sets)
+    r1 = cold.optimize()
+    assert cold.is_decomposed and r1.status == "Solved"
+    assert cold._chordal_info.mode == "standard"
+
+    warm = ct.Model(settings)
+    warm.set(P, q, A, b, sets)
+    warm.warm_start(x0=r1.x, y0=r1.y, s0=r1.s)
+    r2 = warm.optimize()
+    assert r2.status == "Solved"
+    assert r2.iter <= r1.iter
+    assert abs(r2.obj_val - r1.obj_val) < 1e-5
+
+
 def test_update_after_decomposed_solve():
     """Updates stay legal after a decomposed solve (the decomposition is
     re-derived from the original data each optimize)."""
