@@ -201,17 +201,28 @@ def _bench_maxcut_sparse(n_nodes=2000):
     r = model.optimize()      # decomposition cached; measure iter phase
     ips = r.iter / r.times.iter_time
     nnz = model._chordal_info.problem[2].nnz
-    kkt_iters = max(r.info.kkt_solver_iters, 1)
-    # per ADMM iter: CG iters x 2 SpMM (2nnz) + projection
+    kkt_iters = int(r.info.kkt_solver_iters)
     from cosmo_tpu.ops import conedata as cd
 
     dtype = np.float32
     cones = cd.compile_cones(model._chordal_info.problem[4], dtype=dtype)
-    flops = _proj_flops_per_iter(cones) + (kkt_iters / r.iter) * 2 * 2 * nnz
+    bk = getattr(model, "_blockkkt_cache", None)
+    bk_meta = bk[1] if bk is not None else None
+    if kkt_iters == 0 and bk_meta is not None:
+        # block-diagonal direct KKT (ops/blockkkt.py): per iteration one
+        # batched [N,k,k]@[N,k] apply + the rhs/nu SpMMs
+        kkt = sum(2 * b.N * b.k * b.k for b in bk_meta.buckets) + 2 * 2 * nnz
+        kkt_kind = "blockdiag"
+    else:
+        # CG: inner iters x 2 SpMM per ADMM iteration
+        kkt = (max(kkt_iters, 1) / max(r.iter, 1)) * 2 * 2 * nnz
+        kkt_kind = "cg"
+    flops = _proj_flops_per_iter(cones) + kkt
     return dict(
         label="maxcut_2000_sparse_decomposed", iters_per_s=round(ips, 2),
         flops_per_iter=int(flops),
         tflops=round(ips * flops / 1e12, 3),
+        kkt_solver=kkt_kind,
         cg_iters_per_admm_iter=round(kkt_iters / max(r.iter, 1), 1),
         n_clique_blocks=len(model._chordal_info.problem[4]),
     )

@@ -22,7 +22,7 @@ from .. import results as results_mod
 from .. import solver as solver_mod
 from ..ops import conedata
 from ..ops import linops
-from ..settings import KKT_CG, KKT_DENSE, Settings, split_settings
+from ..settings import KKT_BLOCK, KKT_CG, KKT_DENSE, Settings, split_settings
 from . import cones as C
 from .constraint import Constraint
 
@@ -62,6 +62,7 @@ class Model:
         self.is_decomposed = False
         self._chordal_info = None
         self._decomp_key = None
+        self._blockkkt_cache = None
         self._last_result: Optional[results_mod.Result] = None
         # the interval chosen by the auto rho-adaptation probe
         # (settings.adaptive_rho_interval == 0), for introspection
@@ -133,6 +134,7 @@ class Model:
         self.is_decomposed = False
         self._chordal_info = None
         self._decomp_key = None
+        self._blockkkt_cache = None
         self.x0 = np.zeros(n)
         self.s0 = np.zeros(m)
         self.mu0 = np.zeros(m)
@@ -165,6 +167,7 @@ class Model:
         self.is_decomposed = False
         self._chordal_info = None
         self._decomp_key = None
+        self._blockkkt_cache = None
         self.x0 = np.zeros(n)
         self.s0 = np.zeros(m)
         self.mu0 = np.zeros(m)
@@ -311,8 +314,34 @@ class Model:
         use_sparse = settings.sparse is True or (
             settings.sparse == "auto" and (sp.issparse(A) or sp.issparse(P))
         )
-        if use_sparse and settings.kkt_solver == KKT_DENSE:
-            settings = settings.replace(kkt_solver=KKT_CG)
+        # sparse problems cannot use the dense Cholesky; prefer the batched
+        # block-diagonal direct solver (ops/blockkkt.py) whenever the
+        # reduced system's column-intersection graph decouples into small
+        # components (always true for compact-decomposed dual-form SDPs),
+        # else fall back to matrix-free CG
+        kkt_block = None
+        if use_sparse and isinstance(settings.kkt_solver, str) and (
+            settings.kkt_solver in (KKT_DENSE, KKT_BLOCK)
+        ):
+            if mesh is None:
+                # the analysis is purely structural, so it survives q/b
+                # updates and warm-started re-solves (invalidated by set())
+                bk_key = (int(settings.kkt_block_max), self._decomp_key,
+                          self.is_decomposed)
+                cached = getattr(self, "_blockkkt_cache", None)
+                if cached is not None and cached[0] == bk_key:
+                    kkt_block = cached[1]
+                else:
+                    from ..ops import blockkkt
+
+                    kkt_block = blockkkt.analyze(
+                        sp.csr_matrix(P), sp.csr_matrix(A),
+                        max_block=int(settings.kkt_block_max),
+                    )
+                    self._blockkkt_cache = (bk_key, kkt_block)
+            settings = settings.replace(
+                kkt_solver=KKT_BLOCK if kkt_block is not None else KKT_CG
+            )
         use_dense_kkt = settings.kkt_solver == KKT_DENSE
         # rho_eq-amplified rows (ZeroSet / Box l==u) or compact-decomposition
         # overlap columns (separator conditioning) both push kappa(M) into
@@ -361,7 +390,7 @@ class Model:
         kkt_precond = None
         if (
             settings.kkt_overlap_precond
-            and not use_dense_kkt
+            and settings.kkt_solver == KKT_CG
             and chordal_info is not None
             and chordal_info.mode == "compact"
             and chordal_info.num_overlaps > 0
@@ -405,7 +434,7 @@ class Model:
                 # never recompiles.
                 dyn, carry0, out = self._resolve_auto_rho_interval(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
-                    settings, times, kkt_precond,
+                    settings, times, kkt_precond, kkt_block,
                 )
             if out is not None:
                 pass  # the probe already finished the solve
@@ -415,20 +444,20 @@ class Model:
                 # behavior: Time_limit_reached, solver.jl:303-321)
                 out = self._solve_chunked(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
-                    settings, t_solver, dtype, carry0, kkt_precond,
+                    settings, t_solver, dtype, carry0, kkt_precond, kkt_block,
                 )
             elif carry0 is not None:
                 out = solver_mod.solve_jit(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn,
                     static=static, carry_in=carry0, return_carry=True,
-                    kkt_precond=kkt_precond,
+                    kkt_precond=kkt_precond, kkt_block=kkt_block,
                 )
                 out = dict(out)
                 out.pop("carry")
             else:
                 out = solver_mod.solve_jit(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static=static,
-                    kkt_precond=kkt_precond,
+                    kkt_precond=kkt_precond, kkt_block=kkt_block,
                 )
         out = jax.tree_util.tree_map(np.asarray, out)
         times.iter_time = time.perf_counter() - t_iter
@@ -464,7 +493,8 @@ class Model:
         )
         if settings.verbose_timing:
             self._measure_phase_times(
-                times, Pd, Ad, qd, bd, cones, dyn, static, settings, out, dtype
+                times, Pd, Ad, qd, bd, cones, dyn, static, settings, out,
+                dtype, kkt_block,
             )
         times.solver_time = time.perf_counter() - t_solver
         result = results_mod.Result(
@@ -488,7 +518,7 @@ class Model:
 
 # attached as Model methods below (kept separate for readability)
 def _measure_phase_times(self, times, Pd, Ad, qd, bd, cones, dyn, static,
-                         settings, out, dtype):
+                         settings, out, dtype, kkt_block=None):
     """Populate the per-phase timers (reference: types.jl:26-58).
 
     The whole solve is ONE fused XLA program, so phases cannot be timed in
@@ -499,7 +529,7 @@ def _measure_phase_times(self, times, Pd, Ad, qd, bd, cones, dyn, static,
     """
     from ..ops import kkt as kkt_ops
     from ..ops import projections, scaling as scaling_ops
-    from ..settings import KKT_DENSE
+    from ..settings import KKT_BLOCK, KKT_DENSE
 
     def timed(fn, *args, reps=3, **kw):
         fn(*args, **kw)  # warm/compile
@@ -551,6 +581,19 @@ def _measure_phase_times(self, times, Pd, Ad, qd, bd, cones, dyn, static,
         solve_fn = jax.jit(lambda st, r1, r2: kkt_ops.dense_solve(
             st, Pd, Ad, dyn.sigma, rho_vec, r1, r2, static.kkt_refine_steps))
         t_solve = timed(solve_fn, st, jnp.zeros(n, dtype) + 1.0, w2)
+    elif static.kkt_solver == KKT_BLOCK and kkt_block is not None:
+        from ..ops import blockkkt
+
+        factor_fn = jax.jit(lambda rv: blockkkt.factor(
+            kkt_block, Pd, Ad, dyn.sigma, rv))
+        t_factor = timed(factor_fn, rho_vec)
+        times.init_factor_time = t_factor
+        times.factor_update_time = t_factor * n_rho
+        st = factor_fn(rho_vec)
+        solve_fn = jax.jit(lambda st, r1, r2: blockkkt.solve(
+            kkt_block, st, Pd, Ad, dyn.sigma, rho_vec, r1, r2,
+            static.kkt_refine_steps))
+        t_solve = timed(solve_fn, st, jnp.zeros(n, dtype) + 1.0, w2)
     else:
         times.init_factor_time = 0.0
         times.factor_update_time = 0.0
@@ -577,7 +620,8 @@ Model._measure_phase_times = _measure_phase_times
 
 
 def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
-                               dyn, static, settings, times, kkt_precond=None):
+                               dyn, static, settings, times, kkt_precond=None,
+                               kkt_block=None):
     """Run two short probe chunks; time the second (the first absorbs any
     compile); set the interval so ~adaptive_rho_fraction of the setup time
     passes between adaptations, rounded to a multiple of check_termination.
@@ -588,6 +632,7 @@ def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         dyn._replace(max_iter=np.asarray(probe, np.int32)),
         static=static, return_carry=True, kkt_precond=kkt_precond,
+        kkt_block=kkt_block,
     )
     out = dict(out)
     carry = out.pop("carry")
@@ -598,7 +643,7 @@ def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         dyn._replace(max_iter=np.asarray(2 * probe, np.int32)),
         static=static, carry_in=carry, return_carry=True,
-        kkt_precond=kkt_precond,
+        kkt_precond=kkt_precond, kkt_block=kkt_block,
     )
     out = dict(out)
     carry = out.pop("carry")
@@ -620,7 +665,8 @@ Model._resolve_auto_rho_interval = _resolve_auto_rho_interval
 
 
 def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
-                   settings, t_start, dtype, carry=None, kkt_precond=None):
+                   settings, t_start, dtype, carry=None, kkt_precond=None,
+                   kkt_block=None):
     """Time-limited solve: run fixed-size chunks of the SAME compiled program
     (``max_iter`` is a device scalar) and re-enter with the full loop carry,
     so the iterate trajectory — rho state, accelerator history, CG warm
@@ -634,7 +680,7 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
             Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
             dyn._replace(max_iter=np.asarray(limit, np.int32)),
             static=static, carry_in=carry, return_carry=True,
-            kkt_precond=kkt_precond,
+            kkt_precond=kkt_precond, kkt_block=kkt_block,
         )
         carry = out.pop("carry")
         status = int(out["status"])

@@ -1,0 +1,254 @@
+"""Block-diagonal direct KKT solver for structurally decoupled systems.
+
+The ADMM x-update solves the reduced SPD system
+
+    M x = r1 + A' (rho .* r2),     M = P + sigma I + A' diag(rho) A.
+
+``M_ij`` is nonzero only when columns i and j of A share a row (or P_ij is
+nonzero) — so under the connected components of that *column-intersection
+graph*, M is **exactly block diagonal**.  For the compact chordal
+decomposition (chordal/transform.py) of dual-form SDPs — the north-star
+workload — the components are tiny: each aggregate-sparsity entry couples
+one original variable with its chain of overlap variables (a handful of
+columns), so the whole KKT solve collapses to a batched dense solve of
+thousands of k<=64 blocks.  That replaces the CG inner loop (measured at
+~23-33 iterations per ADMM iteration, each a latency-bound SpMM chain)
+with one gather + one batched [N,k,k] matmul per iteration — and the
+factorization (batched Cholesky on rho updates) maps straight onto the
+MXU.
+
+The reference's analog is the sparse QDLDL factorization of the full KKT
+system (reference: src/linear_solver/kktsolver.jl:285-320); this module is
+its TPU-native replacement for problems whose reduced system decouples.
+Host-side :func:`analyze` decides applicability (components bounded by
+``max_block``) and emits static index maps; everything on device is
+scatter/gather + batched dense linear algebra with fixed shapes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import df32
+from .linops import Coo, matvec, rmatvec
+from ..utils.pytrees import register_pytree_dataclass, static_field
+
+
+# Padded component-size ladder: one batched shape per bucket keeps the
+# number of distinct XLA subgraphs small (same reasoning as the PSD
+# bucket ladder in ops/conedata.py).
+_LADDER = (1, 2, 4, 8, 16, 32, 64)
+
+# Bail out of the analysis when the pair lists would get silly — the CG
+# path handles those problems instead.
+_MAX_PAIRS = 40_000_000
+_MAX_BLOCK_MEM = 2 << 30  # bytes of Minv storage across buckets
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockBucket:
+    """One padded component bucket of the block-diagonal reduced system."""
+
+    k: int = static_field()          # padded block side
+    N: int = static_field()          # number of components in the bucket
+    cols: Any = None                 # int32 [N, k] member columns (pad = n)
+    a_rows: Any = None               # int32 [nA] row id of each A-pair (rho gather)
+    a_pi: Any = None                 # int32 [nA] row-sorted nnz index of entry a
+    a_pj: Any = None                 # int32 [nA] row-sorted nnz index of entry b
+    a_tgt: Any = None                # int32 [nA] flat target in [N*k*k]
+    p_idx: Any = None                # int32 [nP] row-sorted nnz index into P
+    p_tgt: Any = None                # int32 [nP] flat target in [N*k*k]
+
+
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockKKTMeta:
+    """Static structure of the block-diagonal reduced KKT system."""
+
+    n: int = static_field()
+    buckets: Tuple[BlockBucket, ...] = ()
+
+
+def _canonical_coo(X):
+    """Replicate linops.coo_from_scipy's nnz ordering exactly (row-major,
+    canonicalized through csr) so device-side ``vals[idx]`` gathers hit the
+    intended entries."""
+    import scipy.sparse as sp
+
+    Xc = sp.coo_matrix(sp.csr_matrix(X))
+    r = np.asarray(Xc.row, dtype=np.int64)
+    c = np.asarray(Xc.col, dtype=np.int64)
+    p = np.lexsort((c, r))
+    return r[p], c[p]
+
+
+def analyze(P, A, max_block: int = 64) -> BlockKKTMeta | None:
+    """Host-side structure analysis. Returns the static index maps when the
+    reduced system decouples into components of size <= ``max_block``, else
+    None (caller falls back to CG/MINRES)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    m, n = A.shape
+    ar, ac = _canonical_coo(A)
+    prow, pcol = _canonical_coo(P)
+
+    counts = np.bincount(ar, minlength=m).astype(np.int64)
+    if counts.size and counts.max() > max_block:
+        return None  # a row with t nnz forces a component of size >= t
+    if int((counts**2).sum()) + prow.size > _MAX_PAIRS:
+        return None
+
+    # connectivity: chain edges within each row of A + off-diagonal P entries
+    same = ar[1:] == ar[:-1]
+    eu = np.concatenate([ac[:-1][same], prow[prow != pcol]])
+    ev = np.concatenate([ac[1:][same], pcol[prow != pcol]])
+    graph = sp.csr_matrix(
+        (np.ones(eu.size, np.int8), (eu, ev)), shape=(n, n)
+    )
+    n_comp, labels = connected_components(graph, directed=False)
+    sizes = np.bincount(labels, minlength=n_comp).astype(np.int64)
+    if sizes.max() > max_block:
+        return None
+
+    # pad sizes up the ladder; memory guard on the cached inverses
+    pad = np.empty(n_comp, np.int64)
+    for k in _LADDER[::-1]:
+        pad[sizes <= k] = k
+    if int((pad**2).sum()) * 8 > _MAX_BLOCK_MEM:
+        return None
+
+    # slot position of each column inside its component (members ascending)
+    order = np.argsort(labels, kind="stable")
+    comp_start = np.zeros(n_comp + 1, np.int64)
+    np.cumsum(sizes, out=comp_start[1:])
+    pos = np.empty(n, np.int64)
+    pos[order] = np.arange(n, dtype=np.int64) - comp_start[labels[order]]
+
+    # A pairs: all ordered nnz pairs within each row, grouped by row arity
+    row_start = np.zeros(m + 1, np.int64)
+    np.cumsum(counts, out=row_start[1:])
+    pis, pjs, prs = [], [], []
+    for t in np.unique(counts[counts > 0]):
+        rows_t = np.nonzero(counts == t)[0]
+        idx = row_start[rows_t][:, None] + np.arange(t, dtype=np.int64)
+        shape = (rows_t.size, t, t)
+        pis.append(np.broadcast_to(idx[:, :, None], shape).reshape(-1))
+        pjs.append(np.broadcast_to(idx[:, None, :], shape).reshape(-1))
+        prs.append(np.repeat(rows_t, t * t))
+    a_pi = np.concatenate(pis) if pis else np.zeros(0, np.int64)
+    a_pj = np.concatenate(pjs) if pjs else np.zeros(0, np.int64)
+    a_row = np.concatenate(prs) if prs else np.zeros(0, np.int64)
+
+    buckets = []
+    for k in _LADDER:
+        comps_b = np.nonzero(pad == k)[0]
+        if comps_b.size == 0:
+            continue
+        N = int(comps_b.size)
+        local = np.full(n_comp, -1, np.int64)
+        local[comps_b] = np.arange(N, dtype=np.int64)
+
+        cols_b = np.full((N, k), n, np.int64)
+        col_mask = local[labels] >= 0
+        cb_cols = np.nonzero(col_mask)[0]
+        cols_b[local[labels[cb_cols]], pos[cb_cols]] = cb_cols
+
+        ca, cbb = ac[a_pi], ac[a_pj]
+        amask = local[labels[ca]] >= 0
+        tgt = (local[labels[ca[amask]]] * k + pos[ca[amask]]) * k + pos[cbb[amask]]
+
+        pmask = local[labels[prow]] >= 0
+        ptgt = (local[labels[prow[pmask]]] * k + pos[prow[pmask]]) * k + pos[
+            pcol[pmask]
+        ]
+
+        buckets.append(
+            BlockBucket(
+                k=k, N=N,
+                cols=np.asarray(cols_b, np.int32),
+                a_rows=np.asarray(a_row[amask], np.int32),
+                a_pi=np.asarray(a_pi[amask], np.int32),
+                a_pj=np.asarray(a_pj[amask], np.int32),
+                a_tgt=np.asarray(tgt, np.int32),
+                p_idx=np.asarray(np.nonzero(pmask)[0], np.int32),
+                p_tgt=np.asarray(ptgt, np.int32),
+            )
+        )
+    return BlockKKTMeta(n=int(n), buckets=tuple(buckets))
+
+
+# ----------------------------------------------------------------------
+# Device numeric phase
+# ----------------------------------------------------------------------
+
+def factor(meta: BlockKKTMeta, P: Coo, A: Coo, sigma, rho_vec):
+    """Assemble the component blocks of M and cache their inverses.
+
+    Runs at setup and again (under ``lax.cond``) on every rho update —
+    the analog of the reference's ``update_rho!`` refactorization
+    (kktsolver.jl:118-124).  Cost: one scatter-add over the pair lists +
+    one batched Cholesky / triangular inversion per bucket, all
+    MXU/VPU-shaped.
+    """
+    dtype = A.vals.dtype
+    states = []
+    for b in meta.buckets:
+        Mflat = jnp.zeros(b.N * b.k * b.k, dtype)
+        if b.p_idx.size:
+            Mflat = Mflat.at[b.p_tgt].add(P.vals[b.p_idx])
+        if b.a_pi.size:
+            w = A.vals[b.a_pi] * A.vals[b.a_pj] * rho_vec[b.a_rows]
+            Mflat = Mflat.at[b.a_tgt].add(w)
+        M = Mflat.reshape(b.N, b.k, b.k)
+        ar = jnp.arange(b.k)
+        # sigma on real diagonals; identity on padded slots so the
+        # factorization stays nonsingular (and the pad solves to 0)
+        diag_add = jnp.where(jnp.asarray(b.cols) == meta.n,
+                             jnp.ones((), dtype), jnp.asarray(sigma, dtype))
+        M = M.at[:, ar, ar].add(diag_add)
+        L = jnp.linalg.cholesky(M)
+        eye = jnp.broadcast_to(jnp.eye(b.k, dtype=dtype), (b.N, b.k, b.k))
+        # cache the explicit inverse: the per-iteration apply is then one
+        # batched [N,k,k]@[N,k] matmul (pure MXU) instead of two batched
+        # triangular solves; the df32 refinement envelope absorbs the
+        # slight extra rounding when tolerances are tight
+        states.append(jax.scipy.linalg.cho_solve((L, True), eye))
+    return tuple(states)
+
+
+def _apply(meta: BlockKKTMeta, state, t):
+    tp = jnp.concatenate([t, jnp.zeros(1, t.dtype)])
+    out = jnp.zeros(meta.n + 1, t.dtype)
+    for b, Minv in zip(meta.buckets, state):
+        tb = tp[b.cols]
+        xb = jnp.einsum("nij,nj->ni", Minv, tb)
+        out = out.at[jnp.asarray(b.cols).reshape(-1)].set(xb.reshape(-1))
+    return out[:-1]
+
+
+def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
+          refine_steps: int = 0):
+    """Solve the KKT system through the cached block inverses.
+
+    Same contract (and the same compensated double-f32 refinement
+    envelope) as ops/kkt.py ``dense_solve``. Returns (x_tilde, nu).
+    """
+    if refine_steps <= 0:
+        t = r1 + rmatvec(A, rho_vec * r2)
+        x = _apply(meta, state, t)
+    else:
+        t_pair = df32.kkt_rhs2(A, rho_vec, r1, r2)
+        x_pair = df32.promote(_apply(meta, state, t_pair[0]))
+        for _ in range(refine_steps):
+            r = df32.kkt_residual_pair(P, A, sigma, rho_vec, t_pair, x_pair)
+            x_pair = df32.add(x_pair, df32.promote(_apply(meta, state, r)))
+        x = df32.to_f32(x_pair)
+    nu = rho_vec * (matvec(A, x) - r2)
+    return x, nu

@@ -25,6 +25,10 @@ ACTIVATION_ACCURACY = "accuracy"
 KKT_DENSE = "dense"          # cached dense Cholesky of P + sigma*I + A' rho A
 KKT_CG = "cg"                # matrix-free conjugate gradient on the reduced system
 KKT_MINRES = "minres"        # matrix-free MINRES on the reduced system
+KKT_BLOCK = "blockdiag"      # batched direct solve of the component-decoupled
+                             # reduced system (ops/blockkkt.py); auto-selected
+                             # for sparse problems whose column-intersection
+                             # graph decomposes into blocks <= kkt_block_max
 
 # Clique merge strategies (reference: src/chordal_decomposition/clique_merging.jl)
 MERGE_CLIQUE_GRAPH = "clique_graph"
@@ -133,6 +137,11 @@ class Settings:
     # overlap block (exact Sherman-Morrison inverse of sigma I + O' rho O,
     # ops/kkt.py OverlapPrecond); Jacobi elsewhere.
     kkt_overlap_precond: bool = True
+    # Largest component size the block-diagonal direct KKT solver
+    # (ops/blockkkt.py) accepts before falling back to CG. Sparse problems
+    # whose reduced system decouples (e.g. compact-decomposed dual-form
+    # SDPs) are solved by batched dense factorization instead of CG.
+    kkt_block_max: int = 64
     # --- TPU-specific knobs (no reference equivalent) ---
     # Problem-matrix representation: "auto" keeps scipy-sparse inputs sparse
     # (COO segment-sum matvecs + matrix-free CG KKT); True forces sparse;

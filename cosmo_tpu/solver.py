@@ -24,12 +24,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import accel, results
+from .ops import blockkkt
 from .ops import infeasibility as infeas
 from .ops import kkt as kkt_ops
 from .ops import projections
 from .ops import residuals as res_ops
 from .ops import scaling as scaling_ops
-from .settings import DynConfig, StaticConfig, KKT_DENSE, KKT_MINRES
+from .settings import DynConfig, StaticConfig, KKT_BLOCK, KKT_DENSE, KKT_MINRES
 
 RHO_LOG_LEN = 64
 
@@ -87,7 +88,8 @@ def _classify_rows(cones, b, lb, ub, dyn):
 
 
 def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
-          carry_in=None, return_carry: bool = False, kkt_precond=None):
+          carry_in=None, return_carry: bool = False, kkt_precond=None,
+          kkt_block=None):
     """Full solve on device. All inputs are device arrays / pytrees; `static`
     is hashable config. Wrap with jax.jit(static_argnums=(..,)) upstream.
 
@@ -127,11 +129,17 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
     custom_kkt = not isinstance(static.kkt_solver, str)
     use_dense = (not custom_kkt) and static.kkt_solver == KKT_DENSE
+    use_block = (not custom_kkt) and static.kkt_solver == KKT_BLOCK
+    if use_block and kkt_block is None:
+        raise ValueError("kkt_solver='blockdiag' needs the BlockKKTMeta "
+                         "structure (pass kkt_block=blockkkt.analyze(P, A))")
     if custom_kkt:
         # user plug-in (reference: AbstractKKTSolver, kktsolver.jl:5-11)
         kkt_state = static.kkt_solver.setup(P, A, dyn.sigma, rho_vec)
     elif use_dense:
         kkt_state = kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec)
+    elif use_block:
+        kkt_state = blockkkt.factor(kkt_block, P, A, dyn.sigma, rho_vec)
     else:
         kkt_state = ()
 
@@ -140,6 +148,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             return static.kkt_solver.setup(P, A, dyn.sigma, rho_vec)
         if use_dense:
             return kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec)
+        if use_block:
+            return blockkkt.factor(kkt_block, P, A, dyn.sigma, rho_vec)
         return ()
 
     # ------------------------------------------------------------------
@@ -154,6 +164,12 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         elif use_dense:
             xt, nu = kkt_ops.dense_solve(
                 kkt_state, P, A, dyn.sigma, rho_vec, r1, r2,
+                static.kkt_refine_steps,
+            )
+            k = jnp.zeros((), jnp.int32)
+        elif use_block:
+            xt, nu = blockkkt.solve(
+                kkt_block, kkt_state, P, A, dyn.sigma, rho_vec, r1, r2,
                 static.kkt_refine_steps,
             )
             k = jnp.zeros((), jnp.int32)
