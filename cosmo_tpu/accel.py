@@ -32,6 +32,21 @@ class AccelState(NamedTuple):
     success: jnp.ndarray    # bool: produced an accelerated candidate this iter
     n_accelerated: jnp.ndarray  # int32
     n_declined: jnp.ndarray     # int32 safeguard rejections
+    # Stagnation toggle (no reference analog — f32 robustness): when the
+    # termination checks see no residual progress for a while, flip the
+    # accelerator's suspension state. In f32 the secant differences dF lose
+    # all significant bits as the iterates converge (catastrophic
+    # cancellation), so on some problems the accelerated candidates degrade
+    # into noise the safeguard (growth-bounded, tol=2) keeps accepting —
+    # measured: the decomposed banded-400 SDP stalls at rp~3e-4 with AA on
+    # but follows the f64 trajectory (solved in ~1800 iters) with AA off.
+    # On others (min-eig SDP, kappa~6e3) AA is what cuts through the plain
+    # f32 floor, so suspension must not be permanent: a stall with AA off
+    # re-enables it. Each regime gets retried; the converging one keeps
+    # producing improvements and therefore keeps its state.
+    disabled: jnp.ndarray       # bool: accelerator currently suspended
+    stall_checks: jnp.ndarray   # int32 consecutive no-progress checks
+    best_score: jnp.ndarray     # best normalized residual score seen
 
 
 def init_accel(d: int, mem: int, dtype) -> AccelState:
@@ -48,6 +63,9 @@ def init_accel(d: int, mem: int, dtype) -> AccelState:
         success=jnp.asarray(False),
         n_accelerated=jnp.zeros((), jnp.int32),
         n_declined=jnp.zeros((), jnp.int32),
+        disabled=jnp.asarray(False),
+        stall_checks=jnp.zeros((), jnp.int32),
+        best_score=jnp.asarray(jnp.inf, dtype),
     )
 
 

@@ -118,6 +118,16 @@ class Settings:
     accelerator_activation_accuracy: float = 1e-4
     safeguard: bool = True
     safeguard_tol: float = 2.0
+    # Stagnation toggle for the accelerator (no reference analog; f32
+    # robustness): after this many consecutive termination checks without
+    # >=5% improvement of the normalized residual score, the accelerator's
+    # suspension state flips (stalled with AA on -> suspend it; stalled
+    # with AA off -> re-enable it). In f32 the secant differences cancel to
+    # noise near convergence on some problems (the safeguard cannot catch
+    # plateau-level accepted steps), while on others AA is what breaks the
+    # plain-f32 floor — the toggle keeps whichever regime is making
+    # progress. -1 = auto: 10 in f32, off in f64; 0 = off.
+    accelerator_stall_checks: int = -1
     # KKT indirect-solver controls (reference: kktsolver_indirect.jl:168-170;
     # reference default 1.0, tightened to 0.1: the absolute target is
     # sched/||rhs|| ∧ 0.1*admm_residual, and measured total inner-iteration
@@ -211,6 +221,7 @@ class StaticConfig(NamedTuple):
     accel_memory: str
     accel_type: str
     accel_regularizer: str
+    accel_stall_checks: int        # 0 disables the stagnation detector
     safeguard: bool
     check_obj_true: bool
     verbose: bool
@@ -281,6 +292,11 @@ def split_settings(settings: Settings, m: int, n: int, dtype,
         accel_memory=settings.accelerator_memory,
         accel_type=settings.accelerator_type,
         accel_regularizer=settings.accelerator_regularizer,
+        accel_stall_checks=(
+            int(settings.accelerator_stall_checks)
+            if settings.accelerator_stall_checks >= 0
+            else (10 if np.dtype(dtype) == np.float32 else 0)
+        ),
         safeguard=bool(settings.safeguard),
         check_obj_true=not np.isnan(settings.obj_true),
         verbose=bool(settings.verbose),

@@ -336,7 +336,35 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             near = (info.r_prim < tol + tol * info.max_norm_prim) & (
                 info.r_dual < tol + tol * info.max_norm_dual
             )
-            c = c._replace(aa=c.aa._replace(active=c.aa.active | near))
+            c = c._replace(
+                aa=c.aa._replace(active=(c.aa.active | near) & ~c.aa.disabled)
+            )
+        # Accelerator stagnation toggle (see accel.AccelState.disabled):
+        # count termination checks with <5% improvement of the normalized
+        # residual score; a trip flips the accelerator's suspension state
+        # (AA-noise-limited problems converge with it off; f32-floor-limited
+        # problems need it back on). Counting starts once activation has
+        # been reached, so the pre-activation phase can't trip it.
+        if static.accel_mem > 0 and static.accel_stall_checks > 0:
+            aa = c.aa
+            score = info.r_prim / (info.max_norm_prim + 1e-10) + info.r_dual / (
+                info.max_norm_dual + 1e-10
+            )
+            improved = score < 0.95 * aa.best_score
+            counting = aa.active | aa.disabled
+            stall = jnp.where(
+                improved, 0, aa.stall_checks + counting.astype(jnp.int32)
+            )
+            trip = stall >= static.accel_stall_checks
+            c = c._replace(aa=aa._replace(
+                best_score=jnp.minimum(aa.best_score, score),
+                stall_checks=jnp.where(trip, 0, stall),
+                disabled=aa.disabled ^ trip,
+                active=aa.active & ~trip,
+                # the history is stale after a suspension window — restart
+                count=jnp.where(trip, 0, aa.count),
+                have_last=aa.have_last & ~trip,
+            ))
         return c
 
     def check_infeasibility(c: LoopCarry) -> LoopCarry:
@@ -380,9 +408,12 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         if static.accel_mem > 0:
             aa = c.aa
             if static.accel_activation == "immediate":
-                aa = aa._replace(active=aa.active | (it >= 2))
+                aa = aa._replace(active=(aa.active | (it >= 2)) & ~aa.disabled)
             elif static.accel_activation == "iter":
-                aa = aa._replace(active=aa.active | (it >= dyn.accel_activation_iter))
+                aa = aa._replace(
+                    active=(aa.active | (it >= dyn.accel_activation_iter))
+                    & ~aa.disabled
+                )
 
             def do_accel(args):
                 aa, w = args

@@ -159,3 +159,32 @@ def test_f32_without_refinement_stalls():
     m.set(P, q, A, b, sets)
     r = m.optimize()
     assert r.status == "Max_iter_reached"
+
+
+def test_f32_aa_stagnation_detector_decomposed_sdp():
+    """The accelerator stagnation detector (accel.AccelState.disabled).
+
+    In f32 the AA secant differences cancel to noise near convergence, so
+    accelerated steps plateau the decomposed banded SDP around rp~2e-4
+    forever; the detector trips after 10 flat termination checks and the
+    plain ADMM + adaptive-rho tail then solves to 1e-5 (the f64
+    trajectory). Locks the default f32 configuration on the north-star
+    problem family.
+    """
+    from cosmo_tpu.problems import banded_sdp
+
+    P, q, A, b, sets, _ = banded_sdp(n_nodes=200, bandwidth=8, seed=0,
+                                     sparse=True)
+    m = ct.Model(ct.Settings(eps_abs=1e-5, eps_rel=1e-5, decompose=True,
+                             max_iter=6000, dtype=np.float32))
+    m.set(P, q, A, b, sets)
+    r = m.optimize()
+    assert r.status == "Solved"
+    # detector off: same problem must NOT reach the tolerance (documents
+    # why accelerator_stall_checks defaults on in f32)
+    m2 = ct.Model(ct.Settings(eps_abs=1e-5, eps_rel=1e-5, decompose=True,
+                              max_iter=6000, dtype=np.float32,
+                              accelerator_stall_checks=0))
+    m2.set(P, q, A, b, sets)
+    r2 = m2.optimize()
+    assert r2.status == "Max_iter_reached"
