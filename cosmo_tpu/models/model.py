@@ -323,22 +323,21 @@ class Model:
         if use_sparse and isinstance(settings.kkt_solver, str) and (
             settings.kkt_solver in (KKT_DENSE, KKT_BLOCK)
         ):
-            if mesh is None:
-                # the analysis is purely structural, so it survives q/b
-                # updates and warm-started re-solves (invalidated by set())
-                bk_key = (int(settings.kkt_block_max), self._decomp_key,
-                          self.is_decomposed)
-                cached = getattr(self, "_blockkkt_cache", None)
-                if cached is not None and cached[0] == bk_key:
-                    kkt_block = cached[1]
-                else:
-                    from ..ops import blockkkt
+            # the analysis is purely structural, so it survives q/b
+            # updates and warm-started re-solves (invalidated by set())
+            bk_key = (int(settings.kkt_block_max), self._decomp_key,
+                      self.is_decomposed)
+            cached = getattr(self, "_blockkkt_cache", None)
+            if cached is not None and cached[0] == bk_key:
+                kkt_block = cached[1]
+            else:
+                from ..ops import blockkkt
 
-                    kkt_block = blockkkt.analyze(
-                        sp.csr_matrix(P), sp.csr_matrix(A),
-                        max_block=int(settings.kkt_block_max),
-                    )
-                    self._blockkkt_cache = (bk_key, kkt_block)
+                kkt_block = blockkkt.analyze(
+                    sp.csr_matrix(P), sp.csr_matrix(A),
+                    max_block=int(settings.kkt_block_max),
+                )
+                self._blockkkt_cache = (bk_key, kkt_block)
             settings = settings.replace(
                 kkt_solver=KKT_BLOCK if kkt_block is not None else KKT_CG
             )
@@ -379,6 +378,10 @@ class Model:
         if mesh is not None:
             from .. import parallel
 
+            if kkt_block is not None:
+                # remap the pair lists against the UNSHARDED Ad layout
+                # before shard_problem re-chunks the triplets
+                kkt_block = parallel.shard_blockkkt(mesh, kkt_block, Ad)
             Pd, Ad, qd, bd, cones = parallel.shard_problem(
                 mesh, Pd, Ad, qd, bd, cones
             )

@@ -57,6 +57,11 @@ class BlockBucket:
 
     k: int = static_field()          # padded block side
     N: int = static_field()          # number of components in the bucket
+    # optional NamedSharding over the component batch dim (set by
+    # parallel.shard_blockkkt): factor/apply then pin the batched
+    # Cholesky/matmul — the O(N k^3)/O(N k^2) work — to shard over the
+    # mesh while the cheap pair-list assembly stays replicated
+    spec: Any = static_field(default=None)
     cols: Any = None                 # int32 [N, k] member columns (pad = n)
     a_rows: Any = None               # int32 [nA] row id of each A-pair (rho gather)
     a_pi: Any = None                 # int32 [nA] row-sorted nnz index of entry a
@@ -213,6 +218,12 @@ def factor(meta: BlockKKTMeta, P: Coo, A: Coo, sigma, rho_vec):
         diag_add = jnp.where(jnp.asarray(b.cols) == meta.n,
                              jnp.ones((), dtype), jnp.asarray(sigma, dtype))
         M = M.at[:, ar, ar].add(diag_add)
+        if b.spec is not None:
+            # mesh-sharded bucket: the assembly above is replicated (cheap,
+            # elementwise over the pair lists); pin the batched factorization
+            # to shard over the component dim so the O(N k^3) work splits
+            # across devices. Per-block math is local to one device.
+            M = jax.lax.with_sharding_constraint(M, b.spec)
         L = jnp.linalg.cholesky(M)
         eye = jnp.broadcast_to(jnp.eye(b.k, dtype=dtype), (b.N, b.k, b.k))
         # cache the explicit inverse: the per-iteration apply is then one
@@ -229,6 +240,16 @@ def _apply(meta: BlockKKTMeta, state, t):
     for b, Minv in zip(meta.buckets, state):
         tb = tp[b.cols]
         xb = jnp.einsum("nij,nj->ni", Minv, tb)
+        if b.spec is not None:
+            # batched apply sharded over components; the scatter back into
+            # the (replicated) solution gathers the component results —
+            # O(n) on the interconnect, the SPMD analog of the CG path's
+            # psum over partial A'y products
+            xb = jax.lax.with_sharding_constraint(
+                xb, jax.sharding.NamedSharding(
+                    b.spec.mesh, jax.sharding.PartitionSpec(b.spec.spec[0])
+                )
+            )
         out = out.at[jnp.asarray(b.cols).reshape(-1)].set(xb.reshape(-1))
     return out[:-1]
 

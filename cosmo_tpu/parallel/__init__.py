@@ -1,6 +1,7 @@
 from .mesh import (
     BLOCK_AXIS,
     make_mesh,
+    shard_blockkkt,
     shard_cones,
     shard_coo,
     shard_problem,
@@ -10,6 +11,7 @@ from .mesh import (
 __all__ = [
     "BLOCK_AXIS",
     "make_mesh",
+    "shard_blockkkt",
     "shard_cones",
     "shard_coo",
     "shard_problem",

@@ -159,6 +159,43 @@ def shard_coo(mesh: Mesh, A, axis: str = BLOCK_AXIS):
     )
 
 
+def _align_bounds(key, d: int):
+    """Chunk boundaries for :func:`_align_triplets`: ``d`` near-equal nnz
+    chunks snapped down to segment starts of ``key``, plus the padded
+    per-chunk length ``L``."""
+    nnz = key.shape[0]
+    change = np.flatnonzero(np.diff(key)) + 1          # positions where key changes
+    bounds = [0]
+    for k in range(1, d):
+        ideal = k * nnz // d
+        # largest segment start <= ideal (0 if none)
+        i = np.searchsorted(change, ideal, side="right") - 1
+        snap = int(change[i]) if i >= 0 else 0
+        bounds.append(max(snap, bounds[-1]))
+    bounds.append(nnz)
+    L = max(bounds[i + 1] - bounds[i] for i in range(d))
+    return bounds, L
+
+
+def coo_shard_remap(A, d: int):
+    """Index map from the unsharded row-sorted nnz layout of ``A`` (a host
+    :class:`~cosmo_tpu.ops.linops.Coo`) to the padded layout produced by
+    :func:`shard_coo`: ``new_pos[j]`` is where original triplet ``j`` lands.
+    Consumers holding nnz indices into ``A.vals`` (e.g. the blockkkt pair
+    lists) must remap through this before gathering from the sharded copy.
+    """
+    key = np.asarray(A.rows)
+    nnz = key.shape[0]
+    if nnz == 0:
+        return np.zeros(0, np.int64)
+    bounds, L = _align_bounds(key, d)
+    new_pos = np.empty(nnz, np.int64)
+    for i in range(d):
+        s, e = bounds[i], bounds[i + 1]
+        new_pos[s:e] = i * L + np.arange(e - s, dtype=np.int64)
+    return new_pos
+
+
 def _align_triplets(key, other, vals, d: int):
     """Pad sorted COO triplets so each of the ``d`` equal nnz chunks covers
     only whole segments of ``key`` (rows for the row-sorted copy, columns
@@ -175,17 +212,7 @@ def _align_triplets(key, other, vals, d: int):
     nnz = key.shape[0]
     if nnz == 0:
         return key, other, vals
-    # chunk boundaries snapped down to segment starts
-    change = np.flatnonzero(np.diff(key)) + 1          # positions where key changes
-    bounds = [0]
-    for k in range(1, d):
-        ideal = k * nnz // d
-        # largest segment start <= ideal (0 if none)
-        i = np.searchsorted(change, ideal, side="right") - 1
-        snap = int(change[i]) if i >= 0 else 0
-        bounds.append(max(snap, bounds[-1]))
-    bounds.append(nnz)
-    L = max(bounds[i + 1] - bounds[i] for i in range(d))
+    bounds, L = _align_bounds(key, d)
     ko = np.empty(d * L, key.dtype)
     oo = np.zeros(d * L, other.dtype)
     vo = np.zeros(d * L, vals.dtype)
@@ -222,6 +249,63 @@ def shard_problem(mesh: Mesh, P_mat, A, q, b, cones, axis: str = BLOCK_AXIS):
         _row_put(b, mesh, axis),
         shard_cones(mesh, cones, axis),
     )
+
+
+def shard_blockkkt(mesh: Mesh, meta, A, axis: str = BLOCK_AXIS):
+    """Shard a :class:`~cosmo_tpu.ops.blockkkt.BlockKKTMeta` over the mesh.
+
+    ``A`` is the **unsharded** host ``Coo`` the meta was analyzed against:
+    the pair lists hold nnz indices into its row-sorted ``vals``, and
+    :func:`shard_coo` re-chunks/pads that layout — so ``a_pi``/``a_pj``
+    are remapped through :func:`coo_shard_remap` to keep the device-side
+    gathers pointing at the intended entries.
+
+    Each bucket's component batch dim ``N`` is padded to a multiple of the
+    mesh size (pad components are identity blocks: ``cols = n`` dump slots,
+    which factor() turns into unit diagonals and apply() into exact zeros)
+    and the member-column map is device_put sharded along it. The pair
+    lists stay replicated: assembling the [N,k,k] blocks is cheap
+    elementwise work, while the batched Cholesky / inverse-apply — the
+    actual O(N k^3) / O(N k^2) cost — runs sharded (``BlockBucket.spec``).
+    Per-block arithmetic is local to one device, so the sharded solve
+    matches the single-device one to a few ULPs (exact bit-identity is not
+    guaranteed: XLA may vectorize the batched Cholesky differently for
+    different local batch sizes).
+    """
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from ..ops.blockkkt import BlockBucket
+
+    d = mesh.shape[axis]
+    remap = coo_shard_remap(A, d)
+    rep = NamedSharding(mesh, P())
+    spec3 = NamedSharding(mesh, P(axis, None, None))
+    spec2 = NamedSharding(mesh, P(axis, None))
+    buckets = []
+    for b in meta.buckets:
+        pad = (-b.N) % d
+        cols = np.asarray(b.cols)
+        if pad:
+            cols = np.concatenate(
+                [cols, np.full((pad, b.k), meta.n, cols.dtype)], axis=0
+            )
+        a_pi = remap[np.asarray(b.a_pi, np.int64)].astype(np.int32)
+        a_pj = remap[np.asarray(b.a_pj, np.int64)].astype(np.int32)
+        buckets.append(
+            BlockBucket(
+                k=b.k, N=b.N + pad, spec=spec3,
+                cols=_put(jnp.asarray(cols), spec2),
+                a_rows=_put(jnp.asarray(b.a_rows), rep),
+                a_pi=_put(jnp.asarray(a_pi), rep),
+                a_pj=_put(jnp.asarray(a_pj), rep),
+                a_tgt=_put(jnp.asarray(b.a_tgt), rep),
+                p_idx=_put(jnp.asarray(b.p_idx), rep),
+                p_tgt=_put(jnp.asarray(b.p_tgt), rep),
+            )
+        )
+    return _dc.replace(meta, buckets=tuple(buckets))
 
 
 def shard_vectors(mesh: Mesh, x0, s0, mu0, axis: str = BLOCK_AXIS):

@@ -54,9 +54,9 @@ def test_sharded_solve_matches_single_device():
 def test_sharded_sparse_decomposed_maxcut_through_model():
     """The north-star layout: a chordally decomposed sparse maxcut solved
     through Model over the 8-device mesh (Coo triplets sharded along nnz,
-    matrix-free CG KKT) — bit-identical to the single-device solve.
-    Reference anchor: the matrix-free reduced system,
-    kktsolver_indirect.jl:36-88."""
+    auto-selected sharded block-diagonal direct KKT) — same solution as the
+    single-device solve. Reference anchor: the reduced system,
+    kktsolver_indirect.jl:36-88 / kktsolver.jl:285-320."""
     assert jax.device_count() >= 8
     P, q, A, b, sets, _ = problems.maxcut(n_nodes=40, density=0.12, seed=7,
                                           sparse=True)
@@ -145,3 +145,53 @@ def test_graft_dryrun():
         cwd=root, env=env, capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_sharded_blockkkt_factor_solve_bitexact():
+    """The block-diagonal direct KKT over the mesh (parallel.shard_blockkkt):
+    pair-list assembly replicated, batched Cholesky/apply sharded over the
+    component dim, a_pi/a_pj remapped through coo_shard_remap to the padded
+    triplet layout of shard_coo. Per-block math is local to one device;
+    factor + solve must match the single-device path to a few ULPs (XLA
+    may vectorize the batched Cholesky differently per local batch size,
+    so exact bit-identity is not guaranteed)."""
+    import scipy.sparse as sp
+
+    from cosmo_tpu.ops import blockkkt, linops
+    from cosmo_tpu.parallel import shard_blockkkt
+    from cosmo_tpu.parallel.mesh import shard_coo
+
+    assert jax.device_count() >= 8
+    P, q, A, b, sets, _ = problems.maxcut(n_nodes=40, density=0.12, seed=7,
+                                          sparse=True)
+    m0 = ct.Model(ct.Settings(decompose=True, max_iter=1, accelerator=None))
+    m0.set(P, q, A, b, sets)
+    m0.optimize()  # runs the host decomposition
+    Pc, qc, Ac, bc, _sets = m0._chordal_info.problem
+    Pc, Ac = sp.csr_matrix(Pc), sp.csr_matrix(Ac)
+    meta = blockkkt.analyze(Pc, Ac, max_block=64)
+    assert meta is not None
+
+    dtype = np.float64
+    Pd = linops.coo_from_scipy(Pc, dtype)
+    Ad = linops.coo_from_scipy(Ac, dtype)
+    rng = np.random.default_rng(0)
+    mdim, n = Ac.shape
+    rho_vec = jnp.asarray(np.abs(rng.standard_normal(mdim)) + 0.1, dtype)
+    r1 = jnp.asarray(rng.standard_normal(n), dtype)
+    r2 = jnp.asarray(rng.standard_normal(mdim), dtype)
+    sigma = jnp.asarray(1e-6, dtype)
+
+    st1 = blockkkt.factor(meta, Pd, Ad, sigma, rho_vec)
+    x1, nu1 = blockkkt.solve(meta, st1, Pd, Ad, sigma, rho_vec, r1, r2)
+
+    mesh = make_mesh(8)
+    meta8 = shard_blockkkt(mesh, meta, Ad)
+    Ad8 = shard_coo(mesh, Ad)
+    st8 = blockkkt.factor(meta8, Pd, Ad8, sigma, rho_vec)
+    x8, nu8 = blockkkt.solve(meta8, st8, Pd, Ad8, sigma, rho_vec, r1, r2)
+
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(nu8), np.asarray(nu1),
+                               rtol=1e-12, atol=1e-12)
