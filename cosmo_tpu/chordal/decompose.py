@@ -65,9 +65,11 @@ def _aggregate_sparsity(A, b_rows: np.ndarray, side: int, square: bool = False,
     return np.where(nz)[0]
 
 
-def _adjacency_from_svec(nz: np.ndarray, side: int, square: bool = False) -> List[set]:
-    """Graph on the matrix vertices from the nonzero storage entries."""
-    adj: List[set] = [set() for _ in range(side)]
+def _adjacency_from_svec(nz: np.ndarray, side: int, square: bool = False):
+    """Graph on the matrix vertices from the nonzero storage entries, as the
+    edge-array form ``(n, i, j)`` consumed by :func:`graph.chordal_extension`
+    (vectorized — no per-entry Python objects; the 10k-node setup spends
+    its time here otherwise)."""
     if square:
         # column-stacked square storage: index = j * side + i
         j = nz // side
@@ -79,11 +81,13 @@ def _adjacency_from_svec(nz: np.ndarray, side: int, square: bool = False) -> Lis
         j = np.where(j * (j + 1) // 2 > nz, j - 1, j)
         j = np.where((j + 1) * (j + 2) // 2 <= nz, j + 1, j)
         i = nz - j * (j + 1) // 2
-    for ii, jj in zip(i, j):
-        if ii != jj:
-            adj[int(ii)].add(int(jj))
-            adj[int(jj)].add(int(ii))
-    return adj
+    off = i != j
+    i, j = i[off].astype(np.int64), j[off].astype(np.int64)
+    # symmetrize + dedupe (square storage may carry both (i,j) and (j,i))
+    key = np.unique(
+        np.concatenate([i * side + j, j * side + i])
+    )
+    return side, key // side, key % side
 
 
 def analyse_cone(

@@ -92,21 +92,34 @@ def connect_graph(cols: List[np.ndarray]) -> List[np.ndarray]:
     return cols
 
 
-def chordal_extension(adj: List[set]) -> Tuple[List[np.ndarray], np.ndarray]:
+def adj_sets_from_edges(graph) -> List[set]:
+    """Neighbor-set form of a ``(n, i, j)`` edge-array graph (pass-through
+    for a list of sets) — only the pure-Python fallbacks need it."""
+    if not isinstance(graph, tuple):
+        return graph
+    n, i, j = graph
+    adj: List[set] = [set() for _ in range(int(n))]
+    for u, v in zip(i, j):
+        adj[int(u)].add(int(v))
+    return adj
+
+
+def chordal_extension(adj) -> Tuple[List[np.ndarray], np.ndarray]:
     """Full pipeline: ordering + symbolic factor + connectivity fix.
 
-    Returns (cols, perm): the L pattern in permuted coordinates and the
-    ordering such that tree-vertex v corresponds to original vertex perm[v].
-    Uses the native C++ implementation when available (cosmo_tpu.native);
-    falls back to the pure-Python one.
+    ``adj`` is either a list of neighbor sets or the vectorized edge-array
+    form ``(n, i, j)``. Returns (cols, perm): the L pattern in permuted
+    coordinates and the ordering such that tree-vertex v corresponds to
+    original vertex perm[v]. Uses the native C++ implementation when
+    available (cosmo_tpu.native); falls back to the pure-Python one.
     """
     from .. import native
 
     perm = native.min_degree_ordering(adj)
     if perm is None:
-        perm = min_degree_ordering(adj)
+        perm = min_degree_ordering(adj_sets_from_edges(adj))
     cols = native.symbolic_cholesky(adj, perm)
     if cols is None:
-        cols = symbolic_cholesky(adj, perm)
+        cols = symbolic_cholesky(adj_sets_from_edges(adj), perm)
     cols = connect_graph(cols)
     return cols, perm

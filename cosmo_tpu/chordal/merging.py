@@ -164,9 +164,32 @@ def _is_permissible(c1: int, c2: int, adj: Dict[int, Set[int]], snd: List[Set[in
 
 def merge_clique_graph(t: CliqueTree, weight_fn=None) -> None:
     """In-place CliqueGraphMerge on a graph-mode tree; afterwards a valid
-    clique tree is recomputed (reference: clique_merging.jl:147-165)."""
+    clique tree is recomputed (reference: clique_merging.jl:147-165).
+
+    The graph construction + merge loop run in native C++ when available
+    (cosmo_tpu.native.clique_graph_merge, identical weights/tie order);
+    the pure-Python loop below is the fallback and the executable spec."""
     assert t.graph_mode
     weight = weight_fn or _complexity_weight
+    native_mode = {id(_complexity_weight): 0, id(_padded_weight): 1}.get(id(weight))
+    if native_mode is not None:
+        from .. import native
+
+        pads, pad_to = (), 1
+        if native_mode == 1:
+            from ..ops.conedata import GEOMETRIC_SIZES
+
+            pads, pad_to = GEOMETRIC_SIZES, 8
+        res = native.clique_graph_merge(t.snd, t.sep, native_mode, pads, pad_to)
+        if res is not None:
+            snd_sets, edges, pairs, decisions, n_merges = res
+            t.snd = snd_sets
+            t.num -= n_merges
+            t.merge_log.clique_pairs.extend(pairs)
+            t.merge_log.decisions.extend(decisions)
+            t.merge_log.num += n_merges
+            _clique_tree_from_graph(t, edges)
+            return
     snd = t.snd
     edges = _reduced_clique_graph(t.sep, snd)
     w: Dict[Tuple[int, int], float] = {
@@ -268,7 +291,9 @@ def _clique_tree_from_graph(t: CliqueTree, w: Dict[Tuple[int, int], float]) -> N
 
     mst: Dict[int, Set[int]] = {k: set() for k in live}
     n_found = 0
-    for e in sorted(iw, key=lambda e: -iw[e]):
+    # explicit (weight, edge) tie order: independent of dict insertion
+    # order, so the native and pure-Python merge paths build the same tree
+    for e in sorted(iw, key=lambda e: (-iw[e], e)):
         ra, rb = find(e[0]), find(e[1])
         if ra != rb:
             parent_uf[ra] = rb

@@ -54,6 +54,17 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64, I64, I64, I64,
                 ctypes.c_int64, I64, I64,
             ]
+            F64 = ctypes.POINTER(ctypes.c_double)
+            lib.clique_graph_merge.restype = ctypes.c_int64
+            lib.clique_graph_merge.argtypes = [
+                ctypes.c_int64,                       # nc
+                I64, I64, I64, I64,                   # snd/sep CSR
+                ctypes.c_int64, I64, ctypes.c_int64, ctypes.c_int64,  # weight
+                I64, I64, ctypes.c_int64, I64,        # snd out + cap + need
+                I64, I64, F64, ctypes.c_int64, I64,   # edges out + cap + n
+                I64, I64, I64, ctypes.c_int64, I64,   # log out + cap + n
+                I64,                                  # num_merges
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -68,37 +79,112 @@ def available() -> bool:
     return _load() is not None
 
 
-def _edges_from_adj(adj: List[set]):
+def _edges_from_adj(adj):
+    """Directed edge arrays from either a ``(n, i, j)`` edge-array graph
+    (pass-through) or a list of neighbor sets."""
+    if isinstance(adj, tuple):
+        n, i, j = adj
+        return int(n), np.ascontiguousarray(i, np.int64), np.ascontiguousarray(j, np.int64)
     ii, jj = [], []
     for v, nbrs in enumerate(adj):
         for u in nbrs:
             ii.append(v)
             jj.append(u)
     return (
+        len(adj),
         np.asarray(ii, dtype=np.int64),
         np.asarray(jj, dtype=np.int64),
     )
 
 
-def min_degree_ordering(adj: List[set]) -> Optional[np.ndarray]:
+def min_degree_ordering(adj) -> Optional[np.ndarray]:
     """Native greedy minimum-degree; None if the library is unavailable."""
     lib = _load()
     if lib is None:
         return None
-    n = len(adj)
-    i, j = _edges_from_adj(adj)
+    n, i, j = _edges_from_adj(adj)
     perm = np.empty(n, dtype=np.int64)
     lib.min_degree(n, i.size, _ptr(i), _ptr(j), _ptr(perm))
     return perm
 
 
-def symbolic_cholesky(adj: List[set], perm: np.ndarray) -> Optional[List[np.ndarray]]:
+def _csr_from_sets(sets_list: List[set]):
+    """CSR (ptr, val) int64 arrays over sorted per-set vertex lists."""
+    ptr = np.zeros(len(sets_list) + 1, dtype=np.int64)
+    for k, s in enumerate(sets_list):
+        ptr[k + 1] = ptr[k] + len(s)
+    val = np.empty(int(ptr[-1]), dtype=np.int64)
+    for k, s in enumerate(sets_list):
+        val[ptr[k] : ptr[k + 1]] = sorted(s)
+    return ptr, val
+
+
+def clique_graph_merge(snd: List[set], sep: List[set], weight_mode: int,
+                       pads, pad_to: int):
+    """Native CliqueGraphMerge (reduced clique graph + greedy merge loop).
+
+    Returns ``(snd_sets, edge_weights, merge_log_pairs, decisions, n_merges)``
+    — the merged full cliques, the surviving weighted edges
+    ``{(a, b): w}`` for the Kruskal tree rebuild, and the merge log — or
+    None when the library is unavailable. Bit-identical to the pure-Python
+    ``merging.merge_clique_graph`` loop (same weights and tie order).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    nc = len(snd)
+    snd_ptr, snd_val = _csr_from_sets(snd)
+    sep_ptr, sep_val = _csr_from_sets(sep)
+    pads = np.ascontiguousarray(pads, dtype=np.int64)
+    snd_cap = int(snd_ptr[-1]) + 1
+    edge_cap = max(8 * nc + 64, 1024)
+    log_cap = nc + 2
+    FP = ctypes.POINTER(ctypes.c_double)
+    for _ in range(3):
+        out_ptr = np.empty(nc + 1, dtype=np.int64)
+        out_val = np.empty(snd_cap, dtype=np.int64)
+        snd_need = np.zeros(1, dtype=np.int64)
+        ea = np.empty(edge_cap, dtype=np.int64)
+        eb = np.empty(edge_cap, dtype=np.int64)
+        ew = np.empty(edge_cap, dtype=np.float64)
+        n_edges = np.zeros(1, dtype=np.int64)
+        la = np.empty(log_cap, dtype=np.int64)
+        lb = np.empty(log_cap, dtype=np.int64)
+        ld = np.empty(log_cap, dtype=np.int64)
+        n_log = np.zeros(1, dtype=np.int64)
+        n_merges = np.zeros(1, dtype=np.int64)
+        ret = lib.clique_graph_merge(
+            nc, _ptr(snd_ptr), _ptr(snd_val), _ptr(sep_ptr), _ptr(sep_val),
+            int(weight_mode), _ptr(pads), pads.size, int(pad_to),
+            _ptr(out_ptr), _ptr(out_val), snd_cap, _ptr(snd_need),
+            _ptr(ea), _ptr(eb), ew.ctypes.data_as(FP), edge_cap, _ptr(n_edges),
+            _ptr(la), _ptr(lb), _ptr(ld), log_cap, _ptr(n_log),
+            _ptr(n_merges),
+        )
+        if ret == 0:
+            ne, nl = int(n_edges[0]), int(n_log[0])
+            snd_sets = [
+                set(out_val[out_ptr[k] : out_ptr[k + 1]].tolist())
+                for k in range(nc)
+            ]
+            edges = {
+                (int(ea[i]), int(eb[i])): float(ew[i]) for i in range(ne)
+            }
+            pairs = [(int(la[i]), int(lb[i])) for i in range(nl)]
+            decisions = [bool(ld[i]) for i in range(nl)]
+            return snd_sets, edges, pairs, decisions, int(n_merges[0])
+        snd_cap = int(snd_need[0]) + 16
+        edge_cap = int(n_edges[0]) + 16
+        log_cap = int(n_log[0]) + 16
+    return None
+
+
+def symbolic_cholesky(adj, perm: np.ndarray) -> Optional[List[np.ndarray]]:
     """Native symbolic factor pattern; None if unavailable."""
     lib = _load()
     if lib is None:
         return None
-    n = len(adj)
-    i, j = _edges_from_adj(adj)
+    n, i, j = _edges_from_adj(adj)
     perm = np.ascontiguousarray(perm, dtype=np.int64)
     cap = max(4 * i.size + 4 * n, 1024)
     for _ in range(3):

@@ -233,3 +233,46 @@ def test_standard_transformation_sparse_input():
     m0.set(np.asarray(P.todense()), q, np.asarray(A.todense()), b, sets)
     r0 = m0.optimize()
     assert abs(r1.obj_val - r0.obj_val) < 1e-3
+
+
+@pytest.mark.parametrize("weight", ["complexity", "padded"])
+def test_native_merge_matches_python(weight):
+    """The native C++ clique-graph merge (native.clique_graph_merge) is the
+    hot path for large setups; it must produce the exact tree (snd, sep,
+    parents, post order, merge log) of the pure-Python loop, which is the
+    executable spec (reference: clique_merging.jl:147-357)."""
+    import copy
+    import importlib
+
+    from cosmo_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    dec_mod = importlib.import_module("cosmo_tpu.chordal.decompose")
+
+    P, q, A, b, sets, _ = problems.banded_sdp(n_nodes=300, bandwidth=6,
+                                              seed=3, sparse=True)
+    side = sets[0].side
+    nz = dec_mod._aggregate_sparsity(A, b[: sets[0].dim], side, row0=0)
+    adj = dec_mod._adjacency_from_svec(nz, side)
+    cols, _perm = graph.chordal_extension(adj)
+    t1 = trees.build_clique_tree(cols, graph_mode=True)
+    t2 = copy.deepcopy(t1)
+
+    wfn = merging._padded_weight if weight == "padded" else None
+    merging.merge_clique_graph(t1, weight_fn=wfn)     # native
+    orig = native.clique_graph_merge
+    native.clique_graph_merge = lambda *a, **k: None  # force Python
+    try:
+        merging.merge_clique_graph(t2, weight_fn=wfn)
+    finally:
+        native.clique_graph_merge = orig
+
+    assert t1.num == t2.num
+    assert all(a == b for a, b in zip(t1.snd, t2.snd))
+    assert all(a == b for a, b in zip(t1.sep, t2.sep))
+    assert np.array_equal(t1.snd_par, t2.snd_par)
+    assert np.array_equal(t1.snd_post, t2.snd_post)
+    assert t1.merge_log.clique_pairs == t2.merge_log.clique_pairs
+    assert t1.merge_log.decisions == t2.merge_log.decisions
+    assert t1.merge_log.num == t2.merge_log.num
