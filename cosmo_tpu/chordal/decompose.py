@@ -113,6 +113,13 @@ def decompose(P, q, A, b, sets, settings) -> Optional[ChordalInfo]:
     """Analyse all decomposable PSD cones and build the compact decomposed
     problem. Returns None when nothing decomposes."""
     compact = bool(getattr(settings, "compact_transformation", True))
+    import scipy.sparse as sp
+
+    # One CSR conversion up front: analyse_cone and the transforms both need
+    # row-major access, and each tocsr() of a tall A (m can be 5e7+) costs
+    # ~0.6 s at 10k nodes.
+    if sp.issparse(A) and A.format != "csr":
+        A = A.tocsr()
     patterns: List[SparsityPattern] = []
     row = 0
     for k, cone in enumerate(sets):

@@ -20,6 +20,7 @@ conic problem plus static index maps for the reverse transform.
 from __future__ import annotations
 
 import dataclasses
+from functools import lru_cache
 from typing import List, Tuple
 
 import numpy as np
@@ -107,13 +108,25 @@ class ChordalInfo:
         return x_d, s_d, mu_d
 
 
+@lru_cache(maxsize=None)
 def _block_entry_indices(nb: int):
     """Local (ii, jj) index arrays of an nb x nb block's upper triangle in
     svec (column-major) order — the block row layout
-    (reference: transformations.jl:396-426)."""
+    (reference: transformations.jl:396-426). Cached: the transform calls
+    this once per clique and clique sizes repeat heavily."""
     jj = np.repeat(np.arange(nb), np.arange(1, nb + 1))
     ii = np.arange(tri_dim(nb)) - jj * (jj + 1) // 2
     return ii, jj
+
+
+def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of ``vals`` in the sorted array (np.isin without the
+    per-call sort)."""
+    if sorted_arr.size == 0:
+        return np.zeros(vals.shape, dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    pos = np.minimum(pos, sorted_arr.size - 1)
+    return sorted_arr[pos] == vals
 
 
 def compact_transform(
@@ -186,13 +199,16 @@ def compact_transform(
             clique_row_start[c] = rp
             rp += tri_dim(len(t.snd[c]) + len(t.sep[c]))
 
+        ordering = np.ascontiguousarray(ordering, dtype=np.int64)
         for pos in range(t.num - 1, -1, -1):
             c = int(t.snd_post[pos])
-            snd_o = np.sort([int(ordering[v]) for v in t.snd[c]])
-            sep_o = np.sort([int(ordering[v]) for v in t.sep[c]])
-            clique_sorted = np.sort(np.concatenate([snd_o, sep_o])).astype(np.int64)
+            snd_c = np.fromiter(t.snd[c], np.int64, len(t.snd[c]))
+            sep_c = np.fromiter(t.sep[c], np.int64, len(t.sep[c]))
+            snd_o = np.sort(ordering[snd_c])
+            sep_o = np.sort(ordering[sep_c])
+            clique_sorted = np.sort(np.concatenate([snd_o, sep_o]))
             nb = clique_sorted.size
-            in_sep = np.isin(clique_sorted, sep_o)
+            in_sep = _sorted_member(sep_o, clique_sorted)
 
             ii, jj = _block_entry_indices(nb)
             gi = clique_sorted[ii]            # original matrix indices
@@ -206,9 +222,8 @@ def compact_transform(
 
             if is_ov.any():
                 par = int(t.snd_par[c])
-                par_clique = np.sort(
-                    [int(ordering[v]) for v in (t.snd[par] | t.sep[par])]
-                )
+                pc = t.snd[par] | t.sep[par]
+                par_clique = np.sort(ordering[np.fromiter(pc, np.int64, len(pc))])
                 par_row0 = clique_row_start[par]
                 # positions of (gi, gj) inside the sorted parent clique
                 pi = np.searchsorted(par_clique, gi[is_ov])
@@ -242,7 +257,8 @@ def compact_transform(
     q_new = np.concatenate([q, np.zeros(num_overlaps, dtype=q.dtype)])
 
     if sp.issparse(A) or sp.issparse(P):
-        A_new = sp.hstack([S @ sp.csr_matrix(A), O]).tocsr()
+        A_csr = A if (sp.issparse(A) and A.format == "csr") else sp.csr_matrix(A)
+        A_new = sp.hstack([S @ A_csr, O]).tocsr()
         P_new = sp.block_diag(
             [sp.csr_matrix(P), sp.csr_matrix((num_overlaps, num_overlaps), dtype=b.dtype)]
         ).tocsr()
