@@ -207,7 +207,8 @@ def jacobi_eigh(X, sweeps=8, method: str = "vec", V0=None):
     return w, V
 
 
-def psd_project_polar(X, quintic_iters: int = 9, cubic_iters: int = 6):
+def psd_project_polar(X, quintic_iters: int = 9, cubic_iters: int = 6,
+                      precision=None):
     """PSD projection via the matrix sign function: Pi(X) = (X + |X|)/2 with
     |X| = X sign(X), sign computed by a Newton-Schulz iteration on
     Z0 = X/||X||_F.
@@ -220,13 +221,18 @@ def psd_project_polar(X, quintic_iters: int = 9, cubic_iters: int = 6):
     then plain cubic (3Z - Z^3)/2 to polish to ~1e-7. Projection error for
     eigenvalues whose sign stays unresolved is bounded by |lambda| itself,
     so overall accuracy is ~1e-6-relative — inside the solver's 1e-5 regime.
+
+    ``precision`` overrides the ambient matmul precision for every einsum
+    (the mixed-precision loose phase passes ``"high"`` — 3 bf16 MXU passes
+    instead of the 6 of f32-"highest" — while ADMM residuals are far from
+    tolerance and projection error is dominated by iterate error anyway).
     """
     a, bq, cq = 3.4445, -4.7750, 2.0315  # standard quintic sign coefficients
     nrm = jnp.sqrt(jnp.sum(X * X, axis=(-2, -1), keepdims=True))
     Z = X / jnp.maximum(nrm, jnp.asarray(np.finfo(np.dtype(X.dtype)).tiny, X.dtype))
 
     def mm(U, V):
-        return jnp.einsum("bij,bjk->bik", U, V)
+        return jnp.einsum("bij,bjk->bik", U, V, precision=precision)
 
     def quintic(_, Z):
         Y = mm(Z, Z)

@@ -8,9 +8,14 @@ accumulator V) resident in VMEM for the entire sweep loop:
 * layout is transposed — X is [k, k, B] with the batch riding the 128-lane
   dimension, so rotations index *leading* axes (tile selects, no lane
   shuffles);
-* the round-robin pair schedule is passed through SMEM and indexed with
-  ``pl.ds`` inside a fori_loop, keeping the compiled body to a single
-  rotation (a fully unrolled schedule blows up Mosaic compile time);
+* the default kernel is ROUND-PARALLEL (`_proj_kernel_rr`): a round's k/2
+  disjoint rotations commute exactly, so they are applied as ~20 full-width
+  [k, k, TB] vector ops per round. The circle-method schedule keeps pairs
+  at adjacent rows (2t, 2t+1) with a fixed static slot permutation between
+  rounds (period k-1), so the body needs no gathers and no SMEM schedule;
+* the serial per-pair variant (`_proj_kernel`, COSMO_TPU_PALLAS_SERIAL=1)
+  passes the schedule through SMEM and does one [1, 1, TB] rotation per
+  fori step — kept for A/B comparison;
 * output is the PSD projection V max(diag, 0) V' directly (fused).
 
 Falls back to the jnp implementation on non-TPU backends.
@@ -26,6 +31,100 @@ import jax.numpy as jnp
 from jax import lax
 
 from .eigh import _round_robin_rounds
+
+
+def _pairswap(M, axis: int):
+    """Swap the two members of each adjacent pair along ``axis`` (size 2H)."""
+    k = M.shape[axis]
+    H = k // 2
+    shp = M.shape[:axis] + (H, 2) + M.shape[axis + 1:]
+    Mr = M.reshape(shp)
+    idx0 = (slice(None),) * axis + (slice(None), 0)
+    idx1 = (slice(None),) * axis + (slice(None), 1)
+    return jnp.stack([Mr[idx1], Mr[idx0]], axis=axis + 1).reshape(M.shape)
+
+
+def _slot_rotate(M, axis: int):
+    """The circle-method slot rotation along ``axis``: slot layout
+    [t0, b0, t1, b1, ...] with pairs (t_i, b_i) = (2i, 2i+1); the fixed
+    permutation new_top = [t0, b0, t1..t_{H-2}], new_bot = [b1..b_{H-1},
+    t_{H-1}] enumerates every pair over k-1 rounds and has period k-1
+    (validated in tests against the eigh projection)."""
+    k = M.shape[axis]
+    H = k // 2
+    shp = M.shape[:axis] + (H, 2) + M.shape[axis + 1:]
+    Mr = M.reshape(shp)
+    pre = (slice(None),) * axis
+    top = Mr[pre + (slice(None), 0)]
+    bot = Mr[pre + (slice(None), 1)]
+    cat = lambda parts: jnp.concatenate(parts, axis=axis)
+    sl = lambda a, b: pre + (slice(a, b),)
+    new_top = cat([top[sl(0, 1)], bot[sl(0, 1)], top[sl(1, H - 1)]])
+    new_bot = cat([bot[sl(1, H)], top[sl(H - 1, H)]])
+    return jnp.stack([new_top, new_bot], axis=axis + 1).reshape(M.shape)
+
+
+def _proj_kernel_rr(x_ref, out_ref, X_s, V_s, *, k: int, sweeps: int):
+    """Round-parallel Jacobi: each round applies its k/2 disjoint rotations
+    as full-width [k, k, TB] vector ops (the rotations commute exactly —
+    disjoint index support), so the compiled body is ~20 large VPU ops
+    instead of k/2 serial [1, 1, TB] slice updates. The pair schedule is
+    the circle method with pairs always at rows (2t, 2t+1) and a fixed
+    static slot rotation between rounds — no gathers, no SMEM schedule."""
+    dtype = x_ref.dtype
+    tiny = float(np.finfo(np.dtype(dtype)).tiny * 16)
+    TB = x_ref.shape[2]
+    H = k // 2
+
+    X_s[:] = x_ref[:]
+    V_s[:] = jnp.broadcast_to(jnp.eye(k, dtype=dtype)[:, :, None], (k, k, TB))
+
+    ii = lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    eye = (ii == jj).astype(dtype)[:, :, None]
+    # mask of the (2t, 2t+1) entries whose rotation each round computes
+    modd = ((jj == ii + 1) & (ii % 2 == 0)).astype(dtype)[:, :, None]
+
+    def round_body(_, carry):
+        X = X_s[:]
+        D = jnp.sum(X * eye, axis=1)                      # [k, TB] diagonal
+        apq = jnp.sum(X * modd, axis=1).reshape(H, 2, TB)[:, 0]
+        Dr = D.reshape(H, 2, TB)
+        app, aqq = Dr[:, 0], Dr[:, 1]
+        small = jnp.abs(apq) <= tiny
+        safe_apq = jnp.where(small, 1.0, apq)
+        tau = (aqq - app) / (2.0 * safe_apq)
+        t_ = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t_ = jnp.where(tau == 0.0, 1.0, t_)
+        c = 1.0 / jnp.sqrt(1.0 + t_ * t_)
+        s = t_ * c
+        c = jnp.where(small, 1.0, c)                      # [H, TB]
+        s = jnp.where(small, 0.0, s)
+        Cf = jnp.stack([c, c], axis=1).reshape(k, TB)
+        Sf = jnp.stack([-s, s], axis=1).reshape(k, TB)
+
+        X = Cf[:, None, :] * X + Sf[:, None, :] * _pairswap(X, 0)
+        X = Cf[None, :, :] * X + Sf[None, :, :] * _pairswap(X, 1)
+        V = V_s[:]
+        V = Cf[None, :, :] * V + Sf[None, :, :] * _pairswap(V, 1)
+        X_s[:] = _slot_rotate(_slot_rotate(X, 0), 1)
+        V_s[:] = _slot_rotate(V, 1)
+        return carry
+
+    def sweep_body(_, carry):
+        lax.fori_loop(0, k - 1, round_body, 0)
+        Xv = X_s[:]
+        X_s[:] = 0.5 * (Xv + jnp.swapaxes(Xv, 0, 1))      # counter drift
+        return carry
+
+    lax.fori_loop(0, sweeps, sweep_body, 0)
+
+    out = jnp.zeros((k, k, TB), dtype)
+    for l in range(k):
+        wl = jnp.maximum(X_s[l, l, :], 0.0)               # [TB]
+        Vl = V_s[:, l, :]                                 # [k, TB]
+        out = out + Vl[:, None, :] * (wl[None, :] * Vl)[None, :, :]
+    out_ref[:] = out
 
 
 def _proj_kernel(pairs_ref, x_ref, out_ref, X_s, V_s, *, k: int, sweeps: int,
@@ -95,6 +194,30 @@ def _pair_schedule(k: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _build_proj_rr(k: int, B: int, TB: int, sweeps: int, dtype_name: str):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import os
+
+    dtype = jnp.dtype(dtype_name)
+    kern = partial(_proj_kernel_rr, k=k, sweeps=sweeps)
+    grid = (B // TB,)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((k, k, B), dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((k, k, TB), lambda i: (0, 0, i))],
+        out_specs=pl.BlockSpec((k, k, TB), lambda i: (0, 0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((k, k, TB), dtype),
+            pltpu.VMEM((k, k, TB), dtype),
+        ],
+        interpret=bool(os.environ.get("COSMO_TPU_PALLAS_INTERPRET")),
+    )
+
+
+@lru_cache(maxsize=None)
 def _build_proj(k: int, B: int, TB: int, sweeps: int, dtype_name: str):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -133,6 +256,7 @@ def psd_project_pallas(X, sweeps: int = 6):
         os.environ.get("COSMO_TPU_DISABLE_PALLAS")
         or jax.default_backend() != "tpu"
         or k % 2 != 0
+        or k < 4
         or k > 48
     ):
         w, V = jnp.linalg.eigh(X)
@@ -148,6 +272,9 @@ def psd_project_pallas(X, sweeps: int = 6):
     Xt = jnp.transpose(X, (1, 2, 0))
     if Bp != B:
         Xt = jnp.pad(Xt, ((0, 0), (0, 0), (0, Bp - B)))
-    pairs = jnp.asarray(_pair_schedule(k))
-    Yt = _build_proj(k, Bp, TB, sweeps, jnp.dtype(X.dtype).name)(pairs, Xt)
+    if os.environ.get("COSMO_TPU_PALLAS_SERIAL"):
+        pairs = jnp.asarray(_pair_schedule(k))
+        Yt = _build_proj(k, Bp, TB, sweeps, jnp.dtype(X.dtype).name)(pairs, Xt)
+    else:
+        Yt = _build_proj_rr(k, Bp, TB, sweeps, jnp.dtype(X.dtype).name)(Xt)
     return jnp.transpose(Yt[:, :, :B], (2, 0, 1))

@@ -51,9 +51,17 @@ def _psd_gather(v_ext, bucket: PsdBucket):
     return X
 
 
-def _psd_project_bucket(X, cones: ConeData):
+def _psd_project_bucket(X, cones: ConeData, loose=None):
     """Batched PSD projection: eig + positive-part reconstruction
-    (reference: convexset.jl:219-263). [B, k, k] -> [B, k, k]."""
+    (reference: convexset.jl:219-263). [B, k, k] -> [B, k, k].
+
+    ``loose``: optional traced bool — the mixed-precision phase flag. While
+    True (residuals far from tolerance) the polar backend runs its matmuls
+    at "high" precision (3 bf16 MXU passes, ~f32-quality) instead of the
+    ambient f32 "highest" (6 passes). NOT "default": a single bf16 pass
+    floors the projection error near 1e-2, which is *above* the switch
+    threshold — the latch then never trips and the solve stalls (measured
+    on chip: rp pinned at 2.7e-2 forever)."""
     from .conedata import resolve_eigh_backend
 
     # "auto" is normally resolved once in compile_cones (which sees all
@@ -61,7 +69,14 @@ def _psd_project_bucket(X, cones: ConeData):
     # resolution (never the Pallas kernel) from the same shared function
     backend = resolve_eigh_backend(cones.eigh_backend)
     if backend == "polar":
-        return eigh_mod.psd_project_polar(X)
+        if loose is None:
+            return eigh_mod.psd_project_polar(X)
+        return lax.cond(
+            loose,
+            lambda X: eigh_mod.psd_project_polar(X, precision="high"),
+            lambda X: eigh_mod.psd_project_polar(X),
+            X,
+        )
     if backend == "pallas":
         from . import pallas_eigh
 
@@ -92,10 +107,11 @@ def init_eig_state(cones: ConeData, dtype):
     )
 
 
-def project(w2, cones: ConeData, eig_state=()):
+def project(w2, cones: ConeData, eig_state=(), loose=None):
     """s = Pi_K(w2): project the slack part of the operator variable onto K.
     Returns ``(s, eig_state)`` — the state is non-empty only for the
     ``"amortized"`` PSD backend (eigenbasis carried across iterations).
+    ``loose``: mixed-precision phase flag (see ``_psd_project_bucket``).
 
     Replaces admm_z!'s projection fan-out (reference: src/solver.jl:7-21,
     convexset.jl:885-891)."""
@@ -120,7 +136,7 @@ def project(w2, cones: ConeData, eig_state=()):
             )
             new_state.append(V)
         else:
-            Y = _psd_project_bucket(X, cones)
+            Y = _psd_project_bucket(X, cones, loose)
         s = _ext(s).at[bucket.scatter_idx].set(Y * bucket.scatter_scale)[:-1]
 
     if cones.exp.idx.shape[0] > 0:

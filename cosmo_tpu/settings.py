@@ -180,6 +180,17 @@ class Settings:
     # uses enough passes for true fp32 accuracy (needed for 1e-4/1e-5
     # tolerances in float32).
     matmul_precision: str = "highest"
+    # Mixed-precision loose phase: while the relative ADMM residuals are
+    # above ``mixed_precision_switch``, the polar PSD projection runs its
+    # matmuls at "high" precision (3 bf16 MXU passes, ~2x the 6-pass
+    # "highest" f32 throughput); once residuals cross the threshold the
+    # solve latches to full precision for the endgame. Safe because early
+    # projection error is dominated by iterate error (inexact-ADMM), and
+    # the latch means final residual checks always run at full precision.
+    # ("default"/1-pass bf16 is NOT used: its ~1e-2 projection floor sits
+    # above the switch threshold, so the latch would never trip.)
+    mixed_precision: bool = False
+    mixed_precision_switch: float = 1e-3
 
     def replace(self, **kwargs) -> "Settings":
         return dataclasses.replace(self, **kwargs)
@@ -225,6 +236,7 @@ class StaticConfig(NamedTuple):
     safeguard: bool
     check_obj_true: bool
     verbose: bool
+    mixed_precision: bool
     m: int
     n: int
 
@@ -259,6 +271,22 @@ class DynConfig(NamedTuple):
     accel_activation_accuracy: Any
     kkt_cg_tol_constant: Any
     kkt_cg_tol_exponent: Any
+    mixed_precision_switch: Any
+
+
+def _backend_supports_callbacks() -> bool:
+    """The in-loop residual rows use ``jax.debug.print`` (host callbacks).
+    The axon relay backend (dev-tunnel TPU) rejects host send/recv at
+    dispatch time, which would abort the whole solve — degrade to the
+    banner/footer-only verbosity there instead of failing."""
+    try:
+        import jax._src.xla_bridge as xb
+
+        # the relay registers as plugin 'axon' but reports platform 'tpu';
+        # the plugin name only shows up in platform_version
+        return "axon" not in xb.get_backend().platform_version
+    except Exception:
+        return True
 
 
 def split_settings(settings: Settings, m: int, n: int, dtype,
@@ -299,7 +327,8 @@ def split_settings(settings: Settings, m: int, n: int, dtype,
         ),
         safeguard=bool(settings.safeguard),
         check_obj_true=not np.isnan(settings.obj_true),
-        verbose=bool(settings.verbose),
+        verbose=bool(settings.verbose) and _backend_supports_callbacks(),
+        mixed_precision=bool(settings.mixed_precision),
         m=int(m),
         n=int(n),
     )
@@ -329,5 +358,6 @@ def split_settings(settings: Settings, m: int, n: int, dtype,
         accel_activation_accuracy=f(settings.accelerator_activation_accuracy),
         kkt_cg_tol_constant=f(settings.kkt_cg_tol_constant),
         kkt_cg_tol_exponent=f(settings.kkt_cg_tol_exponent),
+        mixed_precision_switch=f(settings.mixed_precision_switch),
     )
     return static, dyn

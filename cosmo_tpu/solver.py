@@ -57,6 +57,7 @@ class LoopCarry(NamedTuple):
     dy: Any
     infeas_due: Any
     rho_due: Any
+    loose: Any             # bool: mixed-precision loose phase still active
     redo: Any              # bool: this pass redoes a safeguard-rejected step
     kkt_iters: Any         # int32: accumulated inner CG/MINRES iterations
     n_rho_adapt: Any
@@ -247,6 +248,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             dy=jnp.zeros(m, dtype),
             infeas_due=jnp.asarray(False),
             rho_due=jnp.asarray(False),
+            loose=jnp.asarray(bool(static.mixed_precision)),
             redo=jnp.asarray(False),
             kkt_iters=kkt_it0,
             n_rho_adapt=jnp.zeros((), jnp.int32),
@@ -325,6 +327,15 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         )
 
         c = c._replace(cost=cost, res=info, status=status)
+        if static.mixed_precision:
+            # one-way latch: once relative residuals cross the switch
+            # threshold, the endgame runs at full matmul precision (no
+            # flip-flopping near the boundary)
+            rel = jnp.maximum(
+                info.r_prim / (info.max_norm_prim + 1e-10),
+                info.r_dual / (info.max_norm_dual + 1e-10),
+            )
+            c = c._replace(loose=c.loose & (rel > dyn.mixed_precision_switch))
         if static.verbose:
             jax.debug.print(
                 "{it}\t{cost}\t{rp}\t{rd}\t{rho}",
@@ -443,7 +454,10 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
         # --- ADMM step ---
         c = c._replace(w_prev=c.w)
-        s, eig = projections.project(c.w[n:], cones, c.eig)
+        s, eig = projections.project(
+            c.w[n:], cones, c.eig,
+            loose=c.loose if static.mixed_precision else None,
+        )
         c = c._replace(s=s, eig=eig)
 
         # --- rho adaptation rules (solver.jl:242-282) ---

@@ -1,0 +1,107 @@
+"""North-star workload runner (BASELINE.md): chordally decomposed 10k-node
+SDP solved to 1e-5 residual on the TPU.
+
+Runs the decomposed banded / maxcut SDP family at a given size through the
+full Model pipeline with the f32 default configuration (compensated df32
+KKT refinement + block-diagonal direct KKT + AA stagnation toggle), using
+``time_limit`` so every device dispatch stays ~250 iterations (the dev
+tunnel kills long single dispatches — CLAUDE.md).
+
+Usage:
+    python scripts/northstar.py [--problem banded|maxcut] [--nodes 10000]
+        [--bandwidth 8] [--time-limit 1800] [--eps 1e-5] [--f64]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--problem", default="banded", choices=["banded", "maxcut"])
+    ap.add_argument("--nodes", type=int, default=10_000)
+    ap.add_argument("--bandwidth", type=int, default=8)
+    ap.add_argument("--density", type=float, default=-1.0)
+    ap.add_argument("--time-limit", type=float, default=1800.0)
+    ap.add_argument("--eps", type=float, default=1e-5)
+    ap.add_argument("--max-iter", type=int, default=20_000)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        import cosmo_tpu
+
+        cosmo_tpu.enable_x64()
+    import cosmo_tpu as ct
+    from cosmo_tpu import problems
+
+    t0 = time.perf_counter()
+    if args.problem == "banded":
+        P, q, A, b, sets, _ = problems.banded_sdp(
+            n_nodes=args.nodes, bandwidth=args.bandwidth, seed=0, sparse=True
+        )
+    else:
+        density = args.density if args.density > 0 else 4.0 / args.nodes
+        P, q, A, b, sets, _ = problems.maxcut(
+            n_nodes=args.nodes, density=density, seed=0, sparse=True
+        )
+    t_gen = time.perf_counter() - t0
+
+    dtype = np.float64 if args.f64 else np.float32
+    model = ct.Model(
+        ct.Settings(
+            eps_abs=args.eps,
+            eps_rel=args.eps,
+            max_iter=args.max_iter,
+            time_limit=args.time_limit,
+            decompose=True,
+            dtype=dtype,
+            verbose=True,
+        )
+    )
+    model.set(P, q, A, b, sets)
+    r = model.optimize()
+    # second solve: decomposition + compiled program cached
+    r2 = model.optimize()
+    print(
+        json.dumps(
+            {
+                "problem": args.problem,
+                "nodes": args.nodes,
+                "m_pre_decomposition": int(A.shape[0]),
+                "status": r.status,
+                "iter": r.iter,
+                "r_prim": r.info.r_prim,
+                "r_dual": r.info.r_dual,
+                "obj": r.obj_val,
+                "gen_s": round(t_gen, 2),
+                "setup_s": round(r.times.setup_time, 2),
+                "iter_s_cold": round(r.times.iter_time, 2),
+                "solver_s_cold": round(r.times.solver_time, 2),
+                "warm": {
+                    "status": r2.status,
+                    "iter": r2.iter,
+                    "iter_s": round(r2.times.iter_time, 2),
+                    "solver_s": round(r2.times.solver_time, 2),
+                    "iters_per_s": round(r2.iter / max(r2.times.iter_time, 1e-9), 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

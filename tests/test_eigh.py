@@ -97,3 +97,26 @@ def test_amortized_backend_end_to_end():
     assert abs(res["amortized"].obj_val - res["xla"].obj_val) < 1e-5
     np.testing.assert_allclose(res["amortized"].x, res["xla"].x,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_rr_kernel_interpret_mode(monkeypatch):
+    """The round-parallel Pallas Jacobi kernel (pallas_eigh._proj_kernel_rr)
+    in interpret mode vs the LAPACK eigh projection: the circle-method
+    schedule (pairs at rows (2t, 2t+1), fixed slot rotation between rounds)
+    must cover all pairs and converge to ~f32 precision in 8 sweeps."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cosmo_tpu.ops import pallas_eigh
+
+    monkeypatch.setenv("COSMO_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(3)
+    for k in (8, 16):
+        B = TB = 128
+        A = rng.standard_normal((B, k, k)).astype(np.float32)
+        A = (A + np.swapaxes(A, 1, 2)) / 2
+        Xt = jnp.transpose(jnp.asarray(A), (1, 2, 0))
+        Y = pallas_eigh._build_proj_rr(k, B, TB, 8, "float32")(Xt)
+        Y = np.transpose(np.asarray(Y), (2, 0, 1))
+        w, Q = np.linalg.eigh(A.astype(np.float64))
+        Yref = np.einsum("bik,bk,bjk->bij", Q, np.maximum(w, 0.0), Q)
+        assert np.abs(Y - Yref).max() < 5e-4, k

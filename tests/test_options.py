@@ -228,3 +228,25 @@ def test_indirect_kkt_matches_dense(solver):
     )
     assert np.abs(np.asarray(x) - x_ref).max() < 1e-7
     assert np.abs(np.asarray(nu) - nu_ref).max() < 1e-6
+
+
+def test_mixed_precision_loose_phase():
+    """mixed_precision=True threads the loose-phase flag through the
+    projection (polar backend runs "default"-precision matmuls until the
+    relative residuals cross mixed_precision_switch, then latches to full
+    precision). On CPU both precisions are identical — this locks the
+    carry/cond plumbing and that results match the plain configuration."""
+    import numpy as np
+    import cosmo_tpu as ct
+    from cosmo_tpu.problems import block_sdp
+
+    P, q, A, b, sets = block_sdp(n_blocks=8, side=8, n=32, seed=1)
+    res = {}
+    for mp in (False, True):
+        m = ct.Model(ct.Settings(eps_abs=1e-7, eps_rel=1e-7,
+                                 eigh_backend="polar", mixed_precision=mp))
+        m.set(P, q, A, b, sets)
+        r = m.optimize()
+        assert r.status == "Solved", mp
+        res[mp] = r
+    np.testing.assert_allclose(res[True].x, res[False].x, rtol=1e-6, atol=1e-8)
