@@ -117,7 +117,7 @@ def _kkt_flops_per_iter(m, n, refine_steps):
 
 
 def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto",
-                     refine_steps=-1):
+                     refine_steps=-1, mixed_precision=False):
     import jax
     import jax.numpy as jnp
 
@@ -139,6 +139,7 @@ def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto",
         accelerator=None, adaptive_rho=False,
         check_termination=25, scaling=10,
         kkt_refine_steps=refine_steps,
+        mixed_precision=mixed_precision,
     )
     cones = conedata.compile_cones(
         sets, dtype=dtype, psd_pad_to=8, eigh_backend=eigh_backend,
@@ -243,6 +244,12 @@ def main():
     s1p.pop("problem")
     s2 = _bench_block_sdp(8, 256, 256, "block_sdp_8x256")
     s2.pop("problem")
+    # loose-phase throughput of the mixed-precision mode (eps=0 keeps the
+    # phase flag latched loose): polar matmuls at bf16x3 ("high")
+    s2m = _bench_block_sdp(8, 256, 256, "block_sdp_8x256_mixed_loose",
+                           eigh_backend="polar", mixed_precision=True)
+    s2m.pop("problem")
+    s2m.pop("mfu_f32_highest")    # loose phase runs 3 bf16 passes, not 6
     s3 = _bench_maxcut_sparse()
 
     print(
@@ -252,7 +259,7 @@ def main():
                 "value": s1["iters_per_s"],
                 "unit": "iter/s",
                 "vs_baseline": round(s1["iters_per_s"] / base_ips, 3),
-                "shapes": [s1, s1r, s1p, s2, s3],
+                "shapes": [s1, s1r, s1p, s2, s2m, s3],
                 "cpu_baseline_iters_per_s": round(base_ips, 2),
             }
         )

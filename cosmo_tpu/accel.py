@@ -46,7 +46,17 @@ class AccelState(NamedTuple):
     # producing improvements and therefore keeps its state.
     disabled: jnp.ndarray       # bool: accelerator currently suspended
     stall_checks: jnp.ndarray   # int32 consecutive no-progress checks
+    n_trips: jnp.ndarray        # int32 divergence strikes (never reset; 2 = dead)
     best_score: jnp.ndarray     # best normalized residual score seen
+    # Divergence anchor for the safeguard (no reference analog — f32/TPU
+    # robustness): smallest fixed-point residual norm ||f|| at any genuine
+    # ADMM base point since the last restart. The reference safeguard only
+    # bounds per-step growth (tol=2), so a run of noise-driven accelerated
+    # steps that each pass the check can compound into full divergence
+    # (measured: min-eig SDP with the polar/pallas projections on chip
+    # walks from rp~1e-5 to rp~0.3 and never recovers). Candidates with
+    # ||f_acc|| > safeguard_anchor * best_nrm_f are declined regardless.
+    best_nrm_f: jnp.ndarray     # f dtype scalar
 
 
 def init_accel(d: int, mem: int, dtype) -> AccelState:
@@ -65,7 +75,9 @@ def init_accel(d: int, mem: int, dtype) -> AccelState:
         n_declined=jnp.zeros((), jnp.int32),
         disabled=jnp.asarray(False),
         stall_checks=jnp.zeros((), jnp.int32),
+        n_trips=jnp.zeros((), jnp.int32),
         best_score=jnp.asarray(jnp.inf, dtype),
+        best_nrm_f=jnp.asarray(jnp.inf, dtype),
     )
 
 
@@ -76,6 +88,9 @@ def restart(aa: AccelState) -> AccelState:
         count=jnp.zeros((), jnp.int32),
         have_last=jnp.asarray(False),
         success=jnp.asarray(False),
+        # the anchor norm lives in the rho-scaled space — stale after a
+        # rho adaptation re-expresses w
+        best_nrm_f=jnp.asarray(jnp.inf, aa.best_nrm_f.dtype),
     )
 
 

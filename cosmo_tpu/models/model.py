@@ -439,15 +439,27 @@ class Model:
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
                     settings, times, kkt_precond, kkt_block,
                 )
+            dispatch_chunk = settings.dispatch_chunk
+            if dispatch_chunk == 0:
+                from ..settings import _is_axon_backend
+
+                # the axon relay's worker reliably dies on multi-thousand-
+                # iteration single dispatches; re-entering the same compiled
+                # program via the carry costs ~one RTT per chunk
+                dispatch_chunk = 2000 if _is_axon_backend() else -1
             if out is not None:
                 pass  # the probe already finished the solve
-            elif settings.time_limit and settings.time_limit > 0:
+            elif (settings.time_limit and settings.time_limit > 0) or (
+                dispatch_chunk > 0 and settings.max_iter > dispatch_chunk
+            ):
                 # chunked solving re-entered through the loop carry so the
                 # wall clock can be checked between device calls (reference
-                # behavior: Time_limit_reached, solver.jl:303-321)
+                # behavior: Time_limit_reached, solver.jl:303-321) and no
+                # single device call exceeds the dispatch-chunk bound
                 out = self._solve_chunked(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
                     settings, t_solver, dtype, carry0, kkt_precond, kkt_block,
+                    dispatch_chunk=dispatch_chunk,
                 )
             elif carry0 is not None:
                 out = solver_mod.solve_jit(
@@ -669,13 +681,24 @@ Model._resolve_auto_rho_interval = _resolve_auto_rho_interval
 
 def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
                    settings, t_start, dtype, carry=None, kkt_precond=None,
-                   kkt_block=None):
-    """Time-limited solve: run fixed-size chunks of the SAME compiled program
+                   kkt_block=None, dispatch_chunk=-1):
+    """Chunked solve: run fixed-size chunks of the SAME compiled program
     (``max_iter`` is a device scalar) and re-enter with the full loop carry,
     so the iterate trajectory — rho state, accelerator history, CG warm
     start, iteration counters — matches one uninterrupted solve
-    (reference behavior: Time_limit_reached, solver.jl:303-321)."""
-    chunk = max(int(settings.check_termination) * 10, 50)
+    (reference behavior: Time_limit_reached, solver.jl:303-321).
+
+    With ``time_limit`` set, the chunk is small (~10 termination checks) so
+    the wall clock is consulted often; otherwise ``dispatch_chunk`` bounds
+    the device-call length (the axon relay's worker dies on very long
+    single dispatches)."""
+    timed = bool(settings.time_limit and settings.time_limit > 0)
+    if timed:
+        chunk = max(int(settings.check_termination) * 10, 50)
+        if dispatch_chunk > 0:
+            chunk = min(chunk, dispatch_chunk)
+    else:
+        chunk = dispatch_chunk
     limit = int(np.asarray(carry.iter)) + int(np.asarray(carry.sg_iter)) if carry is not None else 0
     while True:
         limit = min(limit + chunk, int(settings.max_iter))
@@ -690,7 +713,7 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
         elapsed = time.perf_counter() - t_start
         if status != results_mod.MAX_ITER_REACHED or limit >= settings.max_iter:
             break
-        if elapsed > settings.time_limit:
+        if timed and elapsed > settings.time_limit:
             out = dict(out)
             out["status"] = np.asarray(results_mod.TIME_LIMIT_REACHED)
             break

@@ -141,12 +141,16 @@ def resolve_eigh_backend(requested: str, buckets=None) -> str:
     Used by :func:`compile_cones` (which sees all PSD buckets) and by the
     projection fallback for hand-built :class:`ConeData` (``buckets=None``,
     which resolves conservatively). Off-TPU, LAPACK/XLA eigh always wins.
-    On TPU, ``"auto"`` resolves to the Newton-Schulz polar projection (pure
-    batched matmuls): the Pallas Jacobi kernel is ~2x faster on stacks of
-    tiny blocks but intermittently faults the TPU worker under sustained
-    multi-thousand-iteration execution (measured: 20000-iteration decomposed
-    solves die with it and complete with polar), so it stays opt-in
-    (``eigh_backend="pallas"``) until the kernel fault is fixed.
+    On TPU, the Pallas Jacobi kernel is selected for a *single* bucket of
+    side <= 16 (~2x the Newton-Schulz polar throughput there: 434 vs 932
+    us/proj at [512, 16, 16] on v5e); everything else — multiple buckets
+    (mixed kernel shapes have triggered TPU-worker faults) or larger blocks
+    (the serial rotation chain loses to pure batched matmuls) — resolves to
+    polar. The historical "Pallas faults under sustained runs" repro was a
+    20000-iteration single device dispatch, which the axon relay kills for
+    ANY program; Model-driven solves now bound dispatch length via
+    ``Settings.dispatch_chunk``, and 8000-iteration chunked pallas solves
+    measure clean.
     """
     if requested != "auto":
         return requested
@@ -154,6 +158,9 @@ def resolve_eigh_backend(requested: str, buckets=None) -> str:
 
     if jax.default_backend() != "tpu":
         return "xla"
+    if buckets is not None:
+        if len(buckets) == 1 and buckets[0].side <= 16:
+            return "pallas"
     return "polar"
 
 

@@ -8,14 +8,16 @@ accumulator V) resident in VMEM for the entire sweep loop:
 * layout is transposed — X is [k, k, B] with the batch riding the 128-lane
   dimension, so rotations index *leading* axes (tile selects, no lane
   shuffles);
-* the default kernel is ROUND-PARALLEL (`_proj_kernel_rr`): a round's k/2
-  disjoint rotations commute exactly, so they are applied as ~20 full-width
-  [k, k, TB] vector ops per round. The circle-method schedule keeps pairs
-  at adjacent rows (2t, 2t+1) with a fixed static slot permutation between
-  rounds (period k-1), so the body needs no gathers and no SMEM schedule;
-* the serial per-pair variant (`_proj_kernel`, COSMO_TPU_PALLAS_SERIAL=1)
-  passes the schedule through SMEM and does one [1, 1, TB] rotation per
-  fori step — kept for A/B comparison;
+* the round-robin pair schedule is passed through SMEM and indexed with
+  ``pl.ds`` inside a fori_loop, keeping the compiled body to a single
+  rotation (a fully unrolled schedule blows up Mosaic compile time);
+* a ROUND-PARALLEL variant (`_proj_kernel_rr`, COSMO_TPU_PALLAS_RR=1)
+  applies each round's k/2 disjoint rotations (they commute exactly) as
+  ~20 full-width [k, k, TB] vector ops, using the circle-method schedule
+  (pairs at rows (2t, 2t+1), fixed static slot permutation between rounds)
+  — measured slower than the serial chain at k=16 (754 vs 434 us/proj for
+  [512, 16, 16] on v5e): the masked angle extraction + permute copies cost
+  more than the op-count reduction saves. Kept for larger-k re-evaluation;
 * output is the PSD projection V max(diag, 0) V' directly (fused).
 
 Falls back to the jnp implementation on non-TPU backends.
@@ -272,9 +274,14 @@ def psd_project_pallas(X, sweeps: int = 6):
     Xt = jnp.transpose(X, (1, 2, 0))
     if Bp != B:
         Xt = jnp.pad(Xt, ((0, 0), (0, 0), (0, Bp - B)))
-    if os.environ.get("COSMO_TPU_PALLAS_SERIAL"):
+    if os.environ.get("COSMO_TPU_PALLAS_RR"):
+        # round-parallel variant: measured SLOWER than the serial kernel at
+        # k=16 ([512,16,16]: 754 vs 434 us/proj on v5e) — the full-matrix
+        # masked angle extraction plus 6 permute copies per round cost more
+        # than the serial chain's small VMEM-resident slice ops. Kept for
+        # re-evaluation at larger k.
+        Yt = _build_proj_rr(k, Bp, TB, sweeps, jnp.dtype(X.dtype).name)(Xt)
+    else:
         pairs = jnp.asarray(_pair_schedule(k))
         Yt = _build_proj(k, Bp, TB, sweeps, jnp.dtype(X.dtype).name)(pairs, Xt)
-    else:
-        Yt = _build_proj_rr(k, Bp, TB, sweeps, jnp.dtype(X.dtype).name)(Xt)
     return jnp.transpose(Yt[:, :, :B], (2, 0, 1))

@@ -118,6 +118,13 @@ class Settings:
     accelerator_activation_accuracy: float = 1e-4
     safeguard: bool = True
     safeguard_tol: float = 2.0
+    # Divergence anchor for the safeguard: accelerated candidates whose
+    # fixed-point residual exceeds this multiple of the best residual seen
+    # (since the last accelerator restart) are declined even if they pass
+    # the per-step safeguard_tol growth bound. Bounds how far a run of
+    # noise-driven tol-passing steps can compound (f32/TPU robustness; the
+    # reference has only the per-step bound).
+    safeguard_anchor: float = 100.0
     # Stagnation toggle for the accelerator (no reference analog; f32
     # robustness): after this many consecutive termination checks without
     # >=5% improvement of the normalized residual score, the accelerator's
@@ -191,6 +198,13 @@ class Settings:
     # above the switch threshold, so the latch would never trip.)
     mixed_precision: bool = False
     mixed_precision_switch: float = 1e-3
+    # Largest number of iterations per device call. The solve re-enters the
+    # same compiled program through the full loop carry between chunks
+    # (identical trajectory, no recompile), so chunking costs one dispatch
+    # round-trip per chunk. 0 = auto: 2000 on the axon TPU relay — whose
+    # worker reliably dies on multi-thousand-iteration single dispatches —
+    # and unchunked elsewhere. -1 = never chunk.
+    dispatch_chunk: int = 0
 
     def replace(self, **kwargs) -> "Settings":
         return dataclasses.replace(self, **kwargs)
@@ -265,6 +279,7 @@ class DynConfig(NamedTuple):
     infty: Any
     adaptive_rho_tolerance: Any
     safeguard_tol: Any
+    safeguard_anchor: Any
     obj_true: Any
     obj_true_tol: Any
     accel_activation_iter: Any
@@ -274,19 +289,24 @@ class DynConfig(NamedTuple):
     mixed_precision_switch: Any
 
 
-def _backend_supports_callbacks() -> bool:
-    """The in-loop residual rows use ``jax.debug.print`` (host callbacks).
-    The axon relay backend (dev-tunnel TPU) rejects host send/recv at
-    dispatch time, which would abort the whole solve — degrade to the
-    banner/footer-only verbosity there instead of failing."""
+def _is_axon_backend() -> bool:
+    """True when running through the axon TPU relay (dev tunnel). The relay
+    registers as plugin 'axon' but reports platform 'tpu'; the plugin name
+    only shows up in platform_version."""
     try:
         import jax._src.xla_bridge as xb
 
-        # the relay registers as plugin 'axon' but reports platform 'tpu';
-        # the plugin name only shows up in platform_version
-        return "axon" not in xb.get_backend().platform_version
+        return "axon" in xb.get_backend().platform_version
     except Exception:
-        return True
+        return False
+
+
+def _backend_supports_callbacks() -> bool:
+    """The in-loop residual rows use ``jax.debug.print`` (host callbacks).
+    The axon relay rejects host send/recv at dispatch time, which would
+    abort the whole solve — degrade to the banner/footer-only verbosity
+    there instead of failing."""
+    return not _is_axon_backend()
 
 
 def split_settings(settings: Settings, m: int, n: int, dtype,
@@ -352,6 +372,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype,
         infty=f(settings.COSMO_INFTY),
         adaptive_rho_tolerance=f(settings.adaptive_rho_tolerance),
         safeguard_tol=f(settings.safeguard_tol),
+        safeguard_anchor=f(settings.safeguard_anchor),
         obj_true=f(settings.obj_true),
         obj_true_tol=f(settings.obj_true_tol),
         accel_activation_iter=np.asarray(settings.accelerator_activation_iter, dtype=np.int32),

@@ -57,6 +57,8 @@ class LoopCarry(NamedTuple):
     dy: Any
     infeas_due: Any
     rho_due: Any
+    rho_force: Any         # bool: stall-triggered deadband-free rho update
+    n_forced: Any          # int32: forced rho updates fired (hard budget 2)
     loose: Any             # bool: mixed-precision loose phase still active
     redo: Any              # bool: this pass redoes a safeguard-rejected step
     kkt_iters: Any         # int32: accumulated inner CG/MINRES iterations
@@ -248,6 +250,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             dy=jnp.zeros(m, dtype),
             infeas_due=jnp.asarray(False),
             rho_due=jnp.asarray(False),
+            rho_force=jnp.asarray(False),
+            n_forced=jnp.zeros((), jnp.int32),
             loose=jnp.asarray(bool(static.mixed_precision)),
             redo=jnp.asarray(False),
             kkt_iters=kkt_it0,
@@ -275,9 +279,13 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         rd = rd / (md + 1e-10)
         new_rho = c.rho * jnp.sqrt(rp / (rd + 1e-10))
         new_rho = jnp.clip(new_rho, dyn.rho_min, dyn.rho_max)
+        # rho_force (set by a stall-detector trip): bypass the 5x deadband —
+        # a stalled solve whose rho sits inside the deadband is otherwise
+        # permanently frozen (the update also re-expresses w from (mu, s)
+        # and restarts the accelerator, a genuine operator reset)
         changed = (new_rho > dyn.adaptive_rho_tolerance * c.rho) | (
             new_rho < c.rho / dyn.adaptive_rho_tolerance
-        )
+        ) | c.rho_force
 
         def apply(c: LoopCarry) -> LoopCarry:
             rho_vec = _make_rho_vec(new_rho, rho_class, dyn)
@@ -367,15 +375,61 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 improved, 0, aa.stall_checks + counting.astype(jnp.int32)
             )
             trip = stall >= static.accel_stall_checks
+            # A "strike" is a trip that fires while AA is driving and the
+            # score sits far above the best seen — direct evidence the
+            # accelerated dynamics diverged (measured on chip: AA+f32 walks
+            # the min-eig SDP from rp~1e-5 to rp~0.3, >1e4x). 100x separates
+            # that from the ~10-50x transient AA-noise excursions a healthy
+            # toggling run shows (minres min-eig on CPU). Two strikes kill the
+            # accelerator PERMANENTLY: the f32 AA dynamics are bistable, and
+            # once divergence has been proven twice, only an uninterrupted
+            # plain-ADMM tail (globally convergent) can finish the job.
+            # Strikes never reset — plain ADMM's repair of the blow-up looks
+            # like "improvement" and must not launder the evidence. A slow
+            # honest crawl (score ~ best) trips without striking, so the
+            # suspension TOGGLE keeps working there (minres min-eig: toggling
+            # converges 3.5k iters, a stagnation-count kill never converges).
+            strike = trip & ~aa.disabled & (score > 100.0 * aa.best_score)
+            n_trips = aa.n_trips + strike.astype(jnp.int32)
+            dead = n_trips >= 2
+            # never re-enable a suspended accelerator while the residuals
+            # sit far above the best seen (that state means AA divergence
+            # is being repaired by plain ADMM — rearming AA there just
+            # restarts the blow-up/repair cycle)
+            trip &= (~aa.disabled | (score <= 10.0 * aa.best_score)) & ~dead
             c = c._replace(aa=aa._replace(
                 best_score=jnp.minimum(aa.best_score, score),
                 stall_checks=jnp.where(trip, 0, stall),
-                disabled=aa.disabled ^ trip,
-                active=aa.active & ~trip,
+                disabled=(aa.disabled ^ trip) | dead,
+                active=aa.active & ~trip & ~dead,
+                n_trips=n_trips,
                 # the history is stale after a suspension window — restart
                 count=jnp.where(trip, 0, aa.count),
                 have_last=aa.have_last & ~trip,
             ))
+            if static.adaptive_rho:
+                # a trip means neither regime is progressing — also force a
+                # deadband-free rho re-adaptation (re-expresses w from
+                # (mu, s): an operator reset that unfreezes solves whose
+                # rho is pinned inside the 5x deadband). Only when the
+                # residuals are genuinely FAR from termination: near the
+                # tolerance boundary the <5% improvement counter trips on
+                # the normal endgame crawl, and the forced reset's residual
+                # bump then keeps the solve hovering just above the line
+                # forever (measured: min-eig SDP at rd~6e-6 vs eps=1e-6 for
+                # 20000 iters; without the gate it solves in ~800).
+                far = (info.r_prim > 10.0 * (dyn.eps_abs + dyn.eps_rel * info.max_norm_prim)) | (
+                    info.r_dual > 10.0 * (dyn.eps_abs + dyn.eps_rel * info.max_norm_dual)
+                )
+                # hard per-solve budget (no reset): a forced update that
+                # helps shows up as score improvement and normal adaptation
+                # takes over; repeated forcing just drives a rho limit cycle
+                # (measured on the minres min-eig SDP: rho oscillates
+                # 0.09<->0.58 forever, each re-expression killing the plain-
+                # ADMM crawl that otherwise converges)
+                fire = trip & far & (c.n_forced < 2)
+                c = c._replace(rho_force=c.rho_force | fire,
+                               n_forced=c.n_forced + fire.astype(jnp.int32))
         return c
 
     def check_infeasibility(c: LoopCarry) -> LoopCarry:
@@ -474,10 +528,12 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 & (c.n_rho_adapt < static.adaptive_rho_max_adaptions)
             )
             c = c._replace(rho_due=due)
-            do_it = c.rho_due & deferred_ok
+            do_it = (c.rho_due | c.rho_force) & deferred_ok
             c = lax.cond(
                 do_it,
-                lambda c: adapt_rho(c)._replace(rho_due=jnp.asarray(False)),
+                lambda c: adapt_rho(c)._replace(
+                    rho_due=jnp.asarray(False), rho_force=jnp.asarray(False)
+                ),
                 lambda c: c,
                 c,
             )
@@ -495,6 +551,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             def safeguard(c: LoopCarry) -> LoopCarry:
                 nrm_f = jnp.linalg.norm(c.aa.f_last)
                 nrm_f_acc = jnp.linalg.norm(c.w_prev - c.w)
+                best = jnp.minimum(c.aa.best_nrm_f, nrm_f)
+                c = c._replace(aa=c.aa._replace(best_nrm_f=best))
 
                 def decline(c: LoopCarry) -> LoopCarry:
                     aa = c.aa._replace(
@@ -505,7 +563,14 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                         w=c.aa.g_last, redo=jnp.asarray(True), aa=aa
                     )
 
-                bad = nrm_f_acc > dyn.safeguard_tol * nrm_f
+                # per-step growth bound (reference semantics,
+                # accelerator_interface.jl:96-109) plus the divergence
+                # anchor: repeated tol-passing noise steps must not
+                # compound away from the best residual seen (accel.py
+                # AccelState.best_nrm_f)
+                bad = (nrm_f_acc > dyn.safeguard_tol * nrm_f) | (
+                    nrm_f_acc > dyn.safeguard_anchor * best
+                )
                 return lax.cond(bad, decline, lambda c: c, c)
 
             c = lax.cond(c.aa.success, safeguard, lambda c: c, c)

@@ -250,3 +250,21 @@ def test_update_after_decomposed_solve():
     fresh.set(P, q * 1.1, A, b, sets)
     r3 = fresh.optimize()
     assert abs(r2.obj_val - r3.obj_val) < 1e-4
+
+
+def test_dispatch_chunk_matches_unchunked_trajectory():
+    """Bounding device-call length (Settings.dispatch_chunk) re-enters the
+    same compiled program through the full carry, so iterate trajectory and
+    iteration count are identical to one unchunked dispatch."""
+    P, q, A, b, sets = _qp()
+    plain = ct.Model(ct.Settings(eps_abs=1e-9, eps_rel=1e-9,
+                                 check_termination=5, dispatch_chunk=-1))
+    plain.set(P, q, A, b, sets)
+    r_plain = plain.optimize()
+    chunked = ct.Model(ct.Settings(eps_abs=1e-9, eps_rel=1e-9,
+                                   check_termination=5, dispatch_chunk=15))
+    chunked.set(P, q, A, b, sets)
+    r_chunked = chunked.optimize()
+    assert r_chunked.status == r_plain.status == "Solved"
+    assert r_chunked.iter == r_plain.iter
+    np.testing.assert_array_equal(r_chunked.x, r_plain.x)

@@ -153,3 +153,59 @@ def test_qp_box_dual_infeasible(scaling):
                                         scaling=scaling))
     res = model.optimize()
     assert res.status == "Dual_infeasible"
+
+
+def test_nuclear_norm_matrix_completion():
+    """Nuclear-norm minimization (the suite's namesake problem):
+
+        min ||X||_*  s.t.  X_ij = M_ij  on observed entries,
+
+    via the SDP  min (tr U + tr V)/2  s.t. [U X; X' V] >= 0. For M = a b'
+    rank-1 with enough observations, the minimizer recovers M and
+    ||X||_* = sigma_1 = ||a|| ||b||.
+    """
+    rng = np.random.default_rng(7)
+    p = r = 4
+    a = rng.standard_normal(p)
+    bb = rng.standard_normal(r)
+    M = np.outer(a, bb)
+    sigma1 = np.linalg.norm(a) * np.linalg.norm(bb)
+    # variables: svec of the (2p)x(2p) symmetric block matrix Z
+    d2 = 2 * p
+    nvar = d2 * (d2 + 1) // 2
+    from cosmo_tpu.problems import svec, smat, tri_dim
+
+    def tri_index(i, j):
+        i, j = min(i, j), max(i, j)
+        return j * (j + 1) // 2 + i
+
+    # objective: (tr U + tr V)/2 = sum of diagonal entries of Z / 2
+    q = np.zeros(nvar)
+    for i in range(d2):
+        q[tri_index(i, i)] = 0.5
+    # equality constraints: X[i, j] = M[i, j] for every entry (full
+    # observation keeps the test deterministic); X lives at Z[i, p+j],
+    # whose svec entry carries sqrt(2)
+    rows = []
+    rhs = []
+    for i in range(p):
+        for j in range(r):
+            row = np.zeros(nvar)
+            row[tri_index(i, p + j)] = 1.0 / np.sqrt(2.0)
+            rows.append(row)
+            rhs.append(M[i, j])
+    A_eq = np.asarray(rows)
+    b_eq = np.asarray(rhs)
+    con_eq = ct.Constraint(A_eq, -b_eq, ct.ZeroSet(A_eq.shape[0]))
+    con_psd = ct.Constraint(np.eye(nvar), np.zeros(nvar),
+                            ct.PsdConeTriangle(nvar))
+    model = ct.Model()
+    model.assemble(np.zeros((nvar, nvar)), q, [con_eq, con_psd],
+                   settings=ct.Settings(eps_abs=1e-7, eps_rel=1e-7,
+                                        decompose=False))
+    res = model.optimize()
+    assert res.status == "Solved"
+    Z = smat(res.x)
+    X = Z[:p, p:] 
+    np.testing.assert_allclose(X, M, atol=5e-4)
+    assert abs(res.obj_val - sigma1) < 1e-3
