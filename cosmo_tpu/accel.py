@@ -106,18 +106,29 @@ def update(aa: AccelState, g, x, memory: str = "restarted") -> AccelState:
         slot = jnp.mod(aa.count, mem)
         # saturating counter that keeps the write phase
         count_next = jnp.where(aa.count >= 2 * mem, mem + jnp.mod(aa.count, mem) + 1, aa.count + 1)
+        full = jnp.asarray(False)
     else:
-        # restarted memory: when full, empty completely and start refilling
+        # restarted memory: when full, empty completely and skip this
+        # iteration's push — the following accelerate() then has no history
+        # and the iteration runs plain ADMM, exactly the reference's
+        # RestartedMemory cadence (one plain iteration per memory window).
+        # Those plain windows are what let the deferred rho/infeasibility
+        # updates run (solver.jl:284-292) and what settle the divergence
+        # ray fast enough for certificate detection on infeasible problems
+        # (measured: the random primal-infeasible cone battery detects in
+        # ~300 iters with the plain windows vs ~17000 without).
         full = aa.count >= mem
         slot = jnp.where(full, 0, aa.count)
         count_next = slot + 1
 
     df_row = f - aa.f_last
     dg_row = g - aa.g_last
-    push = aa.have_last
+    push = aa.have_last & ~full
     dF = jnp.where(push, aa.dF.at[slot].set(df_row), aa.dF)
     dG = jnp.where(push, aa.dG.at[slot].set(dg_row), aa.dG)
-    count = jnp.where(push, count_next, aa.count)
+    count = jnp.where(
+        push, count_next, jnp.where(aa.have_last & full, 0, aa.count)
+    )
 
     return aa._replace(
         x_last=x, g_last=g, f_last=f, dF=dF, dG=dG, count=count,

@@ -34,6 +34,18 @@ from .settings import DynConfig, StaticConfig, KKT_BLOCK, KKT_DENSE, KKT_MINRES
 
 RHO_LOG_LEN = 64
 
+# Base number of plain ADMM iterations an infeasibility-certificate window
+# spans (the accelerator is suspended while a window is armed). 1 is the
+# reference's cadence (one non-accelerated iteration per check,
+# solver.jl:323-349); stagnant far-from-convergence solves escalate the
+# window x4 per fruitless check up to 512 — the certificates need the plain
+# operator's divergence ray, which Anderson masks entirely, and from an
+# AA orbit point the ray takes O(100) plain iterations to emerge (measured
+# on the PSD mixed-cone infeasible battery). Converging solves improve
+# their residual score between checks, so they never escalate and keep the
+# reference cadence.
+INFEAS_PLAIN_WINDOW = 1
+
 # rho row classes (reference: src/parameters.jl:17-49)
 _RHO_NORMAL = 0
 _RHO_EQ = 1
@@ -53,12 +65,20 @@ class LoopCarry(NamedTuple):
     rho_vec: Any
     kkt: Any               # DenseKKTState or () for CG
     sol: Any               # [n+m] last KKT solution (CG warm start / views)
-    dx: Any
-    dy: Any
+    dx: Any                # certificate base x (set when a window arms)
+    dy: Any                # certificate base mu (set when a window arms)
+    w_sh: Any              # [n+m] certificate shadow iterate (plain ADMM)
+    mu_sh: Any             # [m] shadow mu of the last shadow step
     infeas_due: Any
     rho_due: Any
     rho_force: Any         # bool: stall-triggered deadband-free rho update
     n_forced: Any          # int32: forced rho updates fired (hard budget 2)
+    due_age: Any           # int32: iterations a deferred rho update starved
+    dy_age: Any            # int32: plain iterations since the infeasibility
+                           # deltas were armed (-1 = not armed)
+    inf_win: Any           # int32: current certificate plain-window length
+    chk_best: Any          # best residual score seen at a certificate check
+    stag_chks: Any         # int32: consecutive stagnant certificate checks
     loose: Any             # bool: mixed-precision loose phase still active
     redo: Any              # bool: this pass redoes a safeguard-rejected step
     kkt_iters: Any         # int32: accumulated inner CG/MINRES iterations
@@ -248,10 +268,17 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             sol=sol0,
             dx=jnp.zeros(n, dtype),
             dy=jnp.zeros(m, dtype),
+            w_sh=w0,
+            mu_sh=jnp.zeros(m, dtype),
             infeas_due=jnp.asarray(False),
             rho_due=jnp.asarray(False),
             rho_force=jnp.asarray(False),
             n_forced=jnp.zeros((), jnp.int32),
+            due_age=jnp.zeros((), jnp.int32),
+            dy_age=jnp.asarray(-1, jnp.int32),
+            inf_win=jnp.asarray(INFEAS_PLAIN_WINDOW, jnp.int32),
+            chk_best=jnp.asarray(jnp.inf, dtype),
+            stag_chks=jnp.zeros((), jnp.int32),
             loose=jnp.asarray(bool(static.mixed_precision)),
             redo=jnp.asarray(False),
             kkt_iters=kkt_it0,
@@ -433,9 +460,10 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         return c
 
     def check_infeasibility(c: LoopCarry) -> LoopCarry:
-        mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
-        dy = c.dy - mu_k
-        dx = c.w[:n] - c.w_prev[:n]
+        # deltas span the shadow trajectory's plain window (c.dy/c.dx hold
+        # mu and x at arm time, c.mu_sh/c.w_sh the shadow's current state)
+        dy = c.dy - c.mu_sh
+        dx = c.w_sh[:n] - c.dx
         prim_inf = infeas.is_primal_infeasible(dy, P, A, b, cones, sm, dyn.eps_prim_inf)
         dual_inf = infeas.is_dual_infeasible(dx, P, A, q, cones, sm, dyn.eps_dual_inf)
         status = c.status
@@ -450,9 +478,42 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             results.DUAL_INFEASIBLE, status,
         )
         cost = jnp.where(dual_inf & ~prim_inf, jnp.asarray(-jnp.inf, dtype), cost)
-        return c._replace(
-            dy=dy, dx=dx, status=status, cost=cost, infeas_due=jnp.asarray(False)
+        # Escalating window: a check that certifies nothing while the solve
+        # is BOTH stagnant (no residual-score improvement since the last
+        # check) and far from convergence grows the next plain window x4 —
+        # an infeasible orbit needs a sustained plain stretch for the ray
+        # to emerge (the PSD mixed-cone battery detects only after ~250
+        # plain iterations from an AA orbit point). Feasible solves —
+        # including slow f32 endgame crawls, which improve ~0.3% per check
+        # — keep beating the 0.1% bar and stay on the reference's
+        # one-plain-iteration cadence; infeasible orbits oscillate around
+        # a frozen best (magnitude is NOT a separator: a large-norm
+        # infeasible problem can sit at relative score 7e-5 forever).
+        score = c.res.r_prim / (c.res.max_norm_prim + 1e-10) + c.res.r_dual / (
+            c.res.max_norm_dual + 1e-10
         )
+        # the floor is the monotone running min: an infeasible orbit
+        # oscillates above a near-frozen floor (its troughs creep <5% per
+        # handful of checks), while a genuinely converging solve keeps
+        # setting >=5% lower minima and resetting the escalation. Since the
+        # shadow decouples the windows from the main dynamics, a false
+        # escalation costs only the duplicated step compute — so the test
+        # leans toward escalating.
+        stagnant = score >= 0.95 * c.chk_best
+        stag_chks = jnp.where(stagnant, c.stag_chks + 1, 0)
+        win = jnp.where(
+            stagnant,
+            jnp.clip(c.inf_win * 4, 8, 512),
+            jnp.asarray(INFEAS_PLAIN_WINDOW, jnp.int32),
+        )
+        chk_best = jnp.minimum(c.chk_best, score)
+        c = c._replace(
+            dy=dy, dx=dx, status=status, cost=cost,
+            infeas_due=jnp.asarray(False), dy_age=jnp.asarray(-1, jnp.int32),
+            inf_win=win, chk_best=chk_best,
+            stag_chks=stag_chks,
+        )
+        return c
 
     # ------------------------------------------------------------------
     # main loop body (solver.jl:140-165)
@@ -492,19 +553,88 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 aa, w = args
                 return aa._replace(success=jnp.asarray(False)), w
 
-            aa, w = lax.cond(aa.active & ~is_redo, do_accel, no_accel, (aa, c.w))
+            def plain_update(args):
+                # forced-plain iteration (certificate window / starvation):
+                # keep recording history — these are genuine plain-ADMM
+                # pairs, the best possible secants — but do not accelerate.
+                # Freezing the history instead would make the first
+                # post-window update push a secant spanning the whole
+                # window, which measurably wrecks the accelerator (minres
+                # min-eig: 1.5k iters without windows, never converges with
+                # frozen-history windows).
+                aa, w = args
+                aa = accel.update(aa, w, c.w_prev, static.accel_memory)
+                return aa._replace(success=jnp.asarray(False)), w
+
+            # Deferred rho updates only run on non-accelerated iterations
+            # (reference: solver.jl:284-292 update_suggested). The restarted
+            # memory yields one of those per memory window, but a rolling-
+            # memory accelerator can accelerate every iteration forever —
+            # once a deferred update has starved longer than one memory
+            # window, force one plain ADMM iteration so it can run.
+            starved = c.due_age >= static.accel_mem
+            forced_plain = aa.active & ~is_redo & starved
+            aa, w = lax.cond(
+                aa.active & ~is_redo & ~starved,
+                do_accel,
+                lambda args: lax.cond(forced_plain, plain_update, no_accel, args),
+                (aa, c.w),
+            )
             c = c._replace(aa=aa, w=w)
 
         # snapshot the deferred-update predicate for this whole iteration
         deferred_ok = nonaccel_iter(c)
+        if static.accel_mem > 0:
+            pending = c.rho_due | c.rho_force
+            c = c._replace(due_age=jnp.where(
+                deferred_ok, 0,
+                jnp.where(pending, c.due_age + 1, c.due_age),
+            ))
 
-        # --- delta_y bookkeeping for infeasibility (solver.jl:145-148) ---
+        # --- certificate shadow trajectory (replaces solver.jl:145-148's
+        # delta bookkeeping) --- The infeasibility certificates measure the
+        # divergence ray of the PLAIN ADMM operator, which Anderson —
+        # solving the secant system of a divergent affine iteration — turns
+        # into a bounded chaotic orbit (measured: random primal-infeasible
+        # QPs run 10000+ iters undetected with AA on; plain detects in
+        # ~200). Rather than perturbing the main trajectory with forced
+        # plain stretches (tried: every gating variant traded detection
+        # robustness against the basin-sensitive f32 endgames), a SHADOW
+        # iterate forks from the main one when a check arms and advances
+        # with plain steps — same rho/KKT state, zero effect on the main
+        # dynamics, 2x step cost only while a window is armed. The window
+        # escalates x4 per stagnant fruitless check (up to 512): the ray
+        # takes O(100) plain steps to emerge from an AA orbit point.
         if static.infeas_enabled:
-            def set_dy(c: LoopCarry) -> LoopCarry:
+            def arm(c: LoopCarry) -> LoopCarry:
                 mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
-                return c._replace(dy=mu_k)
+                return c._replace(
+                    w_sh=c.w, mu_sh=mu_k, dy=mu_k, dx=c.w[:n],
+                    dy_age=jnp.zeros((), jnp.int32),
+                )
 
-            c = lax.cond(c.infeas_due & deferred_ok, set_dy, lambda c: c, c)
+            c = lax.cond(
+                c.infeas_due & (c.dy_age < 0), arm, lambda c: c, c
+            )
+
+            def shadow_step(c: LoopCarry) -> LoopCarry:
+                s_sh, _ = projections.project(
+                    c.w_sh[n:], cones, c.eig,
+                    loose=c.loose if static.mixed_precision else None,
+                )
+                mu_sh = c.rho_vec * (c.w_sh[n:] - s_sh)
+                res_min_sh = jnp.minimum(c.res.r_prim, c.res.r_dual)
+                w_sh, _, k_sh = admm_x_w(
+                    c.w_sh, s_sh, c.kkt, c.rho_vec, c.sol, it, res_min_sh
+                )
+                return c._replace(
+                    w_sh=w_sh, mu_sh=mu_sh, dy_age=c.dy_age + 1,
+                    kkt_iters=c.kkt_iters + k_sh,
+                )
+
+            c = lax.cond(
+                c.infeas_due & (c.dy_age >= 0), shadow_step, lambda c: c, c
+            )
 
         # --- ADMM step ---
         c = c._replace(w_prev=c.w)
@@ -528,11 +658,24 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 & (c.n_rho_adapt < static.adaptive_rho_max_adaptions)
             )
             c = c._replace(rho_due=due)
-            do_it = (c.rho_due | c.rho_force) & deferred_ok
+            # a long armed certificate window holds the rho update
+            # pending (it fires right after the check): the adaptation
+            # re-expresses w and refactors the KKT mid-window, which both
+            # corrupts the shadow deltas and — since updates can fire more
+            # often than a long window completes — starves the checks
+            # forever. Base 1-iteration windows tolerate the collision
+            # (reference parity, solver.jl:268).
+            win_open = jnp.asarray(False)
+            if static.infeas_enabled:
+                win_open = c.infeas_due & (c.inf_win > 1)
+            do_it = (c.rho_due | c.rho_force) & deferred_ok & ~win_open
             c = lax.cond(
                 do_it,
+                # a rho update changes the shadow's operator and mu scale —
+                # reset its window (it re-arms next iteration while due)
                 lambda c: adapt_rho(c)._replace(
-                    rho_due=jnp.asarray(False), rho_force=jnp.asarray(False)
+                    rho_due=jnp.asarray(False), rho_force=jnp.asarray(False),
+                    dy_age=jnp.asarray(-1, jnp.int32),
                 ),
                 lambda c: c,
                 c,
@@ -584,7 +727,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # --- infeasibility flag logic (solver.jl:323-349) ---
         if static.infeas_enabled:
             set_due = (jnp.mod(it, static.check_infeasibility) == 0) & ~just_declined
-            do_check = (~set_due) & c.infeas_due & deferred_ok & ~just_declined
+            do_check = c.infeas_due & (c.dy_age >= c.inf_win)
             c = c._replace(infeas_due=c.infeas_due | set_due)
             c = lax.cond(do_check, check_infeasibility, lambda c: c, c)
 
