@@ -409,7 +409,10 @@ class Model:
         if settings.verbose:
             from ..utils import printing
 
-            printing.print_header(self, m, n, sets=sets, chordal_info=chordal_info)
+            # `settings` (not self.settings): kkt_solver has been resolved
+            # ("dense"/"blockdiag" auto-select ran above)
+            printing.print_header(self, m, n, sets=sets,
+                                  chordal_info=chordal_info, settings=settings)
 
         t_iter = time.perf_counter()
         import contextlib

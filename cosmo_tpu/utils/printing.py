@@ -10,8 +10,11 @@ from __future__ import annotations
 from collections import Counter
 
 
-def print_header(model, m: int, n: int, sets=None, chordal_info=None):
-    s = model.settings
+def print_header(model, m: int, n: int, sets=None, chordal_info=None,
+                 settings=None):
+    # `settings`: the solve-time settings with auto-selections resolved
+    # (e.g. kkt_solver "dense" -> "blockdiag"); falls back to the model's
+    s = settings if settings is not None else model.settings
     sets = sets if sets is not None else model.sets
     counts = Counter(
         f"{type(c).__name__}(dim={c.dim})" for c in sets

@@ -250,3 +250,25 @@ def test_mixed_precision_loose_phase():
         assert r.status == "Solved", mp
         res[mp] = r
     np.testing.assert_allclose(res[True].x, res[False].x, rtol=1e-6, atol=1e-8)
+
+
+def test_adaptive_rho_max_adaptions():
+    """adaptive_rho_max_adaptions bounds the number of rho updates
+    (reference: AccelerationTests/max_rho_adaption.jl — num_rho_adaptions
+    equals the configured cap when rho starts far off at 1e-6)."""
+    import numpy as np
+    import cosmo_tpu as ct
+
+    P = np.array([[4.0, 1.0], [1.0, 2.0]])
+    q = np.array([1.0, 1.0])
+    A = np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    l = np.array([1.0, 0.0, 0.0]); u = np.array([1.0, 0.7, 0.7])
+    Aa = np.vstack([-A, A]); ba = np.concatenate([u, -l])
+    for cap in (1, 2):
+        m = ct.Model(ct.Settings(adaptive_rho_interval=25,
+                                 adaptive_rho_max_adaptions=cap, rho=1e-6,
+                                 eps_abs=1e-6, eps_rel=1e-4, max_iter=4000))
+        m.assemble(P, q, [ct.Constraint(Aa, ba, ct.Nonnegatives)])
+        r = m.optimize()
+        # rho_updates[0] is the initial rho; adaptions are the rest
+        assert len(r.info.rho_updates) - 1 == cap, (cap, r.info.rho_updates)

@@ -195,3 +195,64 @@ def test_psd_1x1_becomes_nonneg():
     s, cd = _project(sets, v)
     np.testing.assert_allclose(s, [0.0, 4.0])
     assert len(cd.psd_buckets) == 0
+
+
+# ---------------------------------------------------------------------------
+# Membership tests feeding the infeasibility certificates
+# (reference: test/UnitTests/sets.jl "in_dual Functions" + the per-cone
+# in_pol_recc / support_function methods, src/convexset.jl:850-936)
+# ---------------------------------------------------------------------------
+
+def _cd(sets):
+    return conedata.compile_cones(sets, dtype=np.float64, psd_pad_to=8)
+
+
+def test_in_pol_recc_per_family():
+    from cosmo_tpu.problems import svec
+
+    tol = 1e-6
+    # ZeroSet: only ~0 vectors are in the polar recession cone of {0}+b
+    cd = _cd([C.ZeroSet(3)])
+    assert bool(projections.in_pol_recc(jnp.zeros(3), cd, tol))
+    assert not bool(projections.in_pol_recc(jnp.asarray([0.0, 1e-3, 0]), cd, tol))
+    # Nonnegatives: v <= tol
+    cd = _cd([C.Nonnegatives(3)])
+    assert bool(projections.in_pol_recc(jnp.asarray([-1.0, -2.0, 0.0]), cd, tol))
+    assert not bool(projections.in_pol_recc(jnp.asarray([1.0, -2.0, 0.0]), cd, tol))
+    # Box with finite bounds: anything passes; infinite u forbids v > tol
+    cd = _cd([C.Box(l=[-1.0, -1.0], u=[1.0, np.inf])])
+    assert bool(projections.in_pol_recc(jnp.asarray([5.0, -3.0]), cd, tol))
+    assert not bool(projections.in_pol_recc(jnp.asarray([5.0, 3.0]), cd, tol))
+    # SOC: ||x|| <= -t
+    cd = _cd([C.SecondOrderCone(3)])
+    assert bool(projections.in_pol_recc(jnp.asarray([-2.0, 1.0, 1.0]), cd, tol))
+    assert not bool(projections.in_pol_recc(jnp.asarray([2.0, 1.0, 1.0]), cd, tol))
+    # PSD triangle: -V must be PSD (lambda_max(V) <= tol)
+    cd = _cd([C.PsdConeTriangle(6)])
+    Vneg = svec(-np.eye(3))
+    assert bool(projections.in_pol_recc(jnp.asarray(Vneg), cd, tol))
+    assert not bool(projections.in_pol_recc(jnp.asarray(-Vneg), cd, tol))
+
+
+def test_support_function_per_family():
+    from cosmo_tpu.problems import svec
+
+    tol = 1e-6
+    # Box: finite weighted sum of bounds
+    cd = _cd([C.Box(l=[-1.0, -2.0], u=[3.0, 4.0])])
+    y = jnp.asarray([2.0, -1.0])
+    # sup over [l,u] of <z,y> = 2*3 + (-1)*(-2) = 8
+    assert float(projections.support_function(y, cd, tol)) == pytest.approx(8.0)
+    # Nonnegatives: 0 if y <= 0 (dual side), +inf otherwise
+    cd = _cd([C.Nonnegatives(2)])
+    assert float(projections.support_function(jnp.asarray([-1.0, 0.0]), cd, tol)) == 0.0
+    assert np.isinf(float(projections.support_function(jnp.asarray([1.0, 0.0]), cd, tol)))
+    # SOC: 0 iff -y in SOC
+    cd = _cd([C.SecondOrderCone(3)])
+    assert float(projections.support_function(jnp.asarray([-2.0, 1.0, 0.0]), cd, tol)) == 0.0
+    assert np.isinf(float(projections.support_function(jnp.asarray([-0.5, 1.0, 0.0]), cd, tol)))
+    # PSD: 0 iff -Y is PSD
+    cd = _cd([C.PsdConeTriangle(6)])
+    yv = svec(-np.eye(3))
+    assert float(projections.support_function(jnp.asarray(yv), cd, tol)) == 0.0
+    assert np.isinf(float(projections.support_function(jnp.asarray(-yv), cd, tol)))
