@@ -12,34 +12,56 @@ from .conedata import ConeData
 from .linops import matvec, rmatvec
 
 
-def is_primal_infeasible(dy, P, A, b, cones: ConeData, sm, eps_prim_inf):
-    """delta_y certificate (reference: infeasibility.jl:1-29)."""
+def is_primal_infeasible_multi(dy, P, A, b, cones: ConeData, sm, tols):
+    """delta_y certificate (reference: infeasibility.jl:1-29), evaluated at
+    every tolerance in ``tols`` from one pass over the expensive reductions
+    (the strict certificate and its loose escalation gate share the batched
+    PSD eigendecompositions)."""
     norm_dy = jnp.max(jnp.abs(sm.E * dy))
-    big_enough = norm_dy > eps_prim_inf
-
-    safe_norm = jnp.where(big_enough, norm_dy, 1.0)
-    A_dy = sm.Dinv * rmatvec(A, dy)
-    cond_At = jnp.max(jnp.abs(A_dy)) <= eps_prim_inf * norm_dy
+    min_tol = tols[0]
+    for t in tols[1:]:
+        min_tol = jnp.minimum(min_tol, t)   # tols may be traced scalars
+    safe_norm = jnp.where(norm_dy > min_tol, norm_dy, 1.0)
+    A_dy_max = jnp.max(jnp.abs(sm.Dinv * rmatvec(A, dy)))
 
     dy_unit = dy * (-1.0 / safe_norm)
     dyt_b = jnp.dot(dy_unit, b)
-    sF = projections.support_function(dy_unit, cones, eps_prim_inf) - dyt_b
+    sFs = projections.support_function_multi(dy_unit, cones, tols)
 
-    return big_enough & cond_At & (sF <= eps_prim_inf)
+    return tuple(
+        (norm_dy > tol) & (A_dy_max <= tol * norm_dy) & (sF - dyt_b <= tol)
+        for tol, sF in zip(tols, sFs)
+    )
+
+
+def is_primal_infeasible(dy, P, A, b, cones: ConeData, sm, eps_prim_inf):
+    """delta_y certificate (reference: infeasibility.jl:1-29)."""
+    return is_primal_infeasible_multi(
+        dy, P, A, b, cones, sm, (eps_prim_inf,)
+    )[0]
+
+
+def is_dual_infeasible_multi(dx, P, A, q, cones: ConeData, sm, tols):
+    """delta_x certificate (reference: infeasibility.jl:32-68), multi-tol
+    (see :func:`is_primal_infeasible_multi`)."""
+    norm_dx = jnp.max(jnp.abs(sm.D * dx))
+    min_tol = tols[0]
+    for t in tols[1:]:
+        min_tol = jnp.minimum(min_tol, t)   # tols may be traced scalars
+    safe_norm = jnp.where(norm_dx > min_tol, norm_dx, 1.0)
+
+    qt_dx = jnp.dot(q, dx) / (safe_norm * sm.c)
+    P_dx_max = jnp.max(jnp.abs(sm.Dinv * matvec(P, dx))) / (safe_norm * sm.c)
+
+    A_dx = (sm.Einv * matvec(A, dx)) / safe_norm
+    cond_Ks = projections.in_pol_recc_multi(A_dx, cones, tols)
+
+    return tuple(
+        (norm_dx > tol) & (qt_dx < -tol) & (P_dx_max <= tol) & cond_K
+        for tol, cond_K in zip(tols, cond_Ks)
+    )
 
 
 def is_dual_infeasible(dx, P, A, q, cones: ConeData, sm, eps_dual_inf):
     """delta_x certificate (reference: infeasibility.jl:32-68)."""
-    norm_dx = jnp.max(jnp.abs(sm.D * dx))
-    big_enough = norm_dx > eps_dual_inf
-    safe_norm = jnp.where(big_enough, norm_dx, 1.0)
-
-    cond_q = jnp.dot(q, dx) / (safe_norm * sm.c) < -eps_dual_inf
-
-    P_dx = sm.Dinv * matvec(P, dx)
-    cond_P = jnp.max(jnp.abs(P_dx)) / (safe_norm * sm.c) <= eps_dual_inf
-
-    A_dx = (sm.Einv * matvec(A, dx)) / safe_norm
-    cond_K = projections.in_pol_recc(A_dx, cones, eps_dual_inf)
-
-    return big_enough & cond_q & cond_P & cond_K
+    return is_dual_infeasible_multi(dx, P, A, q, cones, sm, (eps_dual_inf,))[0]

@@ -174,119 +174,135 @@ def _psd_min_eigs(v_ext, bucket: PsdBucket, cones: ConeData):
     return w[:, 0], w[:, -1]  # (min, max) per block
 
 
-def in_pol_recc(v, cones: ConeData, tol):
-    """Is v in the polar recession cone of K-tilde? Used by the dual
+def in_pol_recc_multi(v, cones: ConeData, tols):
+    """Is v in the polar recession cone of K-tilde, evaluated at every
+    tolerance in ``tols`` from ONE pass over the expensive reductions (the
+    batched PSD eigendecompositions dominate; XLA does not CSE the eigh
+    custom-calls across separate invocations). Used by the dual
     infeasibility certificate (reference: src/convexset.jl in_pol_recc per
-    cone; src/infeasibility.jl:32-68).
+    cone; src/infeasibility.jl:32-68) and its loose escalation gate.
 
     Note: zero-padding of PSD blocks adds eigenvalues exactly 0, which never
     flips the lambda_max <= tol test for tol >= 0.
     """
-    ok = jnp.asarray(True)
     v_ext = _ext(v)
 
-    # ZeroSet rows: |v| <= tol (convexset.jl:34-36)
-    ok &= ~jnp.any(cones.eq_mask & (jnp.abs(v) > tol))
-    # Nonnegatives rows: v <= tol (convexset.jl:80-82)
-    ok &= ~jnp.any(cones.nonneg_mask & (v > tol))
+    # margins: membership at tol <=> margin <= tol
+    m_rows = jnp.max(jnp.where(cones.eq_mask, jnp.abs(v), 0.0), initial=0.0)
+    m_rows = jnp.maximum(m_rows, jnp.max(
+        jnp.where(cones.nonneg_mask, v, 0.0), initial=0.0))
     # Box rows: v > tol only allowed if u finite; v < -tol only if l finite
     # (convexset.jl:859-861)
-    bad_u = cones.box_mask & jnp.isposinf(cones.ub) & (v > tol)
-    bad_l = cones.box_mask & jnp.isneginf(cones.lb) & (v < -tol)
-    ok &= ~jnp.any(bad_u | bad_l)
+    m_rows = jnp.maximum(m_rows, jnp.max(jnp.where(
+        cones.box_mask & jnp.isposinf(cones.ub), v, 0.0), initial=0.0))
+    m_rows = jnp.maximum(m_rows, jnp.max(jnp.where(
+        cones.box_mask & jnp.isneginf(cones.lb), -v, 0.0), initial=0.0))
 
+    margin = m_rows
     for bucket in cones.soc_buckets:
         X = v_ext[bucket.idx]
         nx = jnp.linalg.norm(X[:, 1:], axis=1)
-        ok &= jnp.all(nx <= tol - X[:, 0])
-
+        margin = jnp.maximum(margin, jnp.max(nx + X[:, 0]))
     for bucket in cones.psd_buckets:
         _, mx = _psd_min_eigs(v_ext, bucket, cones)
-        ok &= jnp.all(mx <= tol)
+        margin = jnp.maximum(margin, jnp.max(mx))
 
-    if cones.exp.idx.shape[0] > 0:
-        V = v_ext[cones.exp.idx]
-        # in_pol_recc(v) = in_dual(-v); for dual cones in_dual == primal in_cone
-        prim = exp_pow.exp_in_dual(-V, tol)
-        dual = exp_pow.exp_in_cone(-V, tol)
-        ok &= jnp.all(jnp.where(cones.exp.is_dual, dual, prim))
+    oks = []
+    for tol in tols:
+        ok = margin <= tol
+        if cones.exp.idx.shape[0] > 0:
+            V = v_ext[cones.exp.idx]
+            # in_pol_recc(v) = in_dual(-v); dual cones: in_dual == in_cone
+            prim = exp_pow.exp_in_dual(-V, tol)
+            dual = exp_pow.exp_in_cone(-V, tol)
+            ok &= jnp.all(jnp.where(cones.exp.is_dual, dual, prim))
+        if cones.pow.idx.shape[0] > 0:
+            V = v_ext[cones.pow.idx]
+            a = cones.pow.alpha
+            prim = exp_pow.pow_in_dual(-V, a, tol)
+            dual = exp_pow.pow_in_cone(-V, a, tol)
+            ok &= jnp.all(jnp.where(cones.pow.is_dual, dual, prim))
+        for offset, cone in cones.custom:
+            if cone.in_pol_recc is not None:
+                v_c = lax.dynamic_slice(v, (offset,), (cone.dim,))
+                ok &= cone.in_pol_recc(v_c, tol)
+            elif cone.in_dual is not None:
+                # for a cone K the polar recession cone is -K*, so
+                # membership reduces to the user's dual-cone test
+                # (reference: in_pol_recc(v) = in_dual(-v), convexset.jl)
+                v_c = lax.dynamic_slice(v, (offset,), (cone.dim,))
+                ok &= cone.in_dual(-v_c, tol)
+            else:
+                # unknown membership: conservatively fail the certificate
+                ok &= jnp.asarray(False)
+        oks.append(ok)
+    return tuple(oks)
 
-    if cones.pow.idx.shape[0] > 0:
-        V = v_ext[cones.pow.idx]
-        a = cones.pow.alpha
-        prim = exp_pow.pow_in_dual(-V, a, tol)
-        dual = exp_pow.pow_in_cone(-V, a, tol)
-        ok &= jnp.all(jnp.where(cones.pow.is_dual, dual, prim))
 
-    for offset, cone in cones.custom:
-        if cone.in_pol_recc is not None:
-            v_c = lax.dynamic_slice(v, (offset,), (cone.dim,))
-            ok &= cone.in_pol_recc(v_c, tol)
-        elif cone.in_dual is not None:
-            # for a cone K the polar recession cone is -K*, so membership
-            # reduces to the user's dual-cone test (reference: the per-cone
-            # in_pol_recc(v) = in_dual(-v) identities, src/convexset.jl)
-            v_c = lax.dynamic_slice(v, (offset,), (cone.dim,))
-            ok &= cone.in_dual(-v_c, tol)
-        else:
-            # unknown membership: conservatively fail the certificate
-            ok &= jnp.asarray(False)
-
-    return ok
+def in_pol_recc(v, cones: ConeData, tol):
+    """Single-tolerance wrapper over :func:`in_pol_recc_multi`."""
+    return in_pol_recc_multi(v, cones, (tol,))[0]
 
 
-def support_function(y, cones: ConeData, tol):
+def support_function_multi(y, cones: ConeData, tols):
     """sup_{z in K} <z, y> evaluated the way the reference does for the
     primal infeasibility certificate (src/convexset.jl:850-936): finite sum
     over Box rows, and 0 / +inf indicator (via in_dual(-y)) for the cones.
+    Evaluated at every tolerance in ``tols`` from one pass over the
+    expensive reductions (batched PSD eigendecompositions; XLA does not CSE
+    eigh custom-calls across invocations).
     """
     v_ext = _ext(y)
     dt = y.dtype
     inf = jnp.asarray(jnp.inf, dt)
 
-    # Box rows (convexset.jl:850-856); guard 0 * inf
-    pos = y > tol
-    neg = y < -tol
-    contrib = jnp.where(pos, y * cones.ub, jnp.where(neg, y * cones.lb, 0.0))
-    box_sum = jnp.sum(jnp.where(cones.box_mask, contrib, 0.0))
-
-    ok = jnp.asarray(True)
-    # ZeroSet: support 0 always. Nonnegatives: in_dual(-y) -> y <= tol
-    ok &= ~jnp.any(cones.nonneg_mask & (y > tol))
-
+    # margins: indicator ok at tol <=> margin <= tol
+    margin = jnp.max(jnp.where(cones.nonneg_mask, y, 0.0), initial=0.0)
     for bucket in cones.soc_buckets:
         X = -v_ext[bucket.idx]
         nx = jnp.linalg.norm(X[:, 1:], axis=1)
-        ok &= jnp.all(nx <= tol + X[:, 0])
-
+        margin = jnp.maximum(margin, jnp.max(nx - X[:, 0]))
     for bucket in cones.psd_buckets:
         mn, _ = _psd_min_eigs(-v_ext, bucket, cones)
-        ok &= jnp.all(mn >= -tol)
+        margin = jnp.maximum(margin, jnp.max(-mn))
 
-    if cones.exp.idx.shape[0] > 0:
-        V = -v_ext[cones.exp.idx]
-        prim = exp_pow.exp_in_dual(V, tol)
-        dual = exp_pow.exp_in_cone(V, tol)
-        ok &= jnp.all(jnp.where(cones.exp.is_dual, dual, prim))
+    outs = []
+    for tol in tols:
+        # Box rows (convexset.jl:850-856); guard 0 * inf
+        pos = y > tol
+        neg = y < -tol
+        contrib = jnp.where(pos, y * cones.ub, jnp.where(neg, y * cones.lb, 0.0))
+        box_sum = jnp.sum(jnp.where(cones.box_mask, contrib, 0.0))
 
-    if cones.pow.idx.shape[0] > 0:
-        V = -v_ext[cones.pow.idx]
-        a = cones.pow.alpha
-        prim = exp_pow.pow_in_dual(V, a, tol)
-        dual = exp_pow.pow_in_cone(V, a, tol)
-        ok &= jnp.all(jnp.where(cones.pow.is_dual, dual, prim))
+        ok = margin <= tol
+        if cones.exp.idx.shape[0] > 0:
+            V = -v_ext[cones.exp.idx]
+            prim = exp_pow.exp_in_dual(V, tol)
+            dual = exp_pow.exp_in_cone(V, tol)
+            ok &= jnp.all(jnp.where(cones.exp.is_dual, dual, prim))
+        if cones.pow.idx.shape[0] > 0:
+            V = -v_ext[cones.pow.idx]
+            a = cones.pow.alpha
+            prim = exp_pow.pow_in_dual(V, a, tol)
+            dual = exp_pow.pow_in_cone(V, a, tol)
+            ok &= jnp.all(jnp.where(cones.pow.is_dual, dual, prim))
 
-    custom_sum = jnp.zeros((), dt)
-    for offset, cone in cones.custom:
-        if cone.support is not None:
-            y_c = lax.dynamic_slice(y, (offset,), (cone.dim,))
-            custom_sum = custom_sum + cone.support(y_c, tol)
-        elif cone.in_dual is not None:
-            # cone support is the 0 / +inf indicator of the polar:
-            # sup_{z in K} <z, y> = 0 iff -y in K*
-            y_c = lax.dynamic_slice(y, (offset,), (cone.dim,))
-            ok &= cone.in_dual(-y_c, tol)
-        else:
-            ok &= jnp.asarray(False)
+        custom_sum = jnp.zeros((), dt)
+        for offset, cone in cones.custom:
+            if cone.support is not None:
+                y_c = lax.dynamic_slice(y, (offset,), (cone.dim,))
+                custom_sum = custom_sum + cone.support(y_c, tol)
+            elif cone.in_dual is not None:
+                # cone support is the 0 / +inf indicator of the polar:
+                # sup_{z in K} <z, y> = 0 iff -y in K*
+                y_c = lax.dynamic_slice(y, (offset,), (cone.dim,))
+                ok &= cone.in_dual(-y_c, tol)
+            else:
+                ok &= jnp.asarray(False)
+        outs.append(jnp.where(ok, box_sum + custom_sum, inf))
+    return tuple(outs)
 
-    return jnp.where(ok, box_sum + custom_sum, inf)
+
+def support_function(y, cones: ConeData, tol):
+    """Single-tolerance wrapper over :func:`support_function_multi`."""
+    return support_function_multi(y, cones, (tol,))[0]

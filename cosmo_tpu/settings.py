@@ -129,13 +129,12 @@ class Settings:
     # robustness): after this many consecutive termination checks without
     # >=5% improvement of the normalized residual score, the accelerator's
     # suspension state flips (stalled with AA on -> suspend it; stalled
-    # with AA off -> re-enable it). OFF by default (-1 == 0) since the
-    # restarted-memory accelerator gained its reference-faithful plain
-    # window per memory cycle (accel.update): the plain windows resolve the
-    # f32 plateau problems the detector was built for, and its suspensions
-    # measurably interrupt productive AA runs (min-eig/minres: detector-on
-    # never converges, detector-off solves in 1.5k iters). Kept as an
-    # opt-in escape hatch for AA-hostile problems.
+    # with AA off -> re-enable it). -1 = auto: 10 in f32, off in f64
+    # (measured: the 10k banded SDP solves in 9.3k iters with the toggle
+    # vs 15k without; at >=1e-5 tolerances the detector never trips before
+    # convergence on the fast problems, so it is free there. In the
+    # 1e-6-in-f32 indirect-KKT regime both settings orbit the noise floor
+    # — see the dev-notes gotcha).
     accelerator_stall_checks: int = -1
     # KKT indirect-solver controls (reference: kktsolver_indirect.jl:168-170;
     # reference default 1.0, tightened to 0.1: the absolute target is
@@ -345,7 +344,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype,
         accel_stall_checks=(
             int(settings.accelerator_stall_checks)
             if settings.accelerator_stall_checks >= 0
-            else 0
+            else (10 if np.dtype(dtype) == np.float32 else 0)
         ),
         safeguard=bool(settings.safeguard),
         check_obj_true=not np.isnan(settings.obj_true),

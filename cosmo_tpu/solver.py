@@ -464,8 +464,17 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # mu and x at arm time, c.mu_sh/c.w_sh the shadow's current state)
         dy = c.dy - c.mu_sh
         dx = c.w_sh[:n] - c.dx
-        prim_inf = infeas.is_primal_infeasible(dy, P, A, b, cones, sm, dyn.eps_prim_inf)
-        dual_inf = infeas.is_dual_infeasible(dx, P, A, q, cones, sm, dyn.eps_dual_inf)
+        # strict + 100x-loose certificates from ONE pass (the loose ones
+        # gate the window escalation below; the expensive batched PSD
+        # eigendecompositions are shared — XLA does not CSE eigh calls)
+        prim_inf, prim_loose = infeas.is_primal_infeasible_multi(
+            dy, P, A, b, cones, sm,
+            (dyn.eps_prim_inf, 100.0 * dyn.eps_prim_inf),
+        )
+        dual_inf, dual_loose = infeas.is_dual_infeasible_multi(
+            dx, P, A, q, cones, sm,
+            (dyn.eps_dual_inf, 100.0 * dyn.eps_dual_inf),
+        )
         status = c.status
         cost = c.cost
         status = jnp.where(
@@ -492,14 +501,18 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         score = c.res.r_prim / (c.res.max_norm_prim + 1e-10) + c.res.r_dual / (
             c.res.max_norm_dual + 1e-10
         )
-        # the floor is the monotone running min: an infeasible orbit
-        # oscillates above a near-frozen floor (its troughs creep <5% per
-        # handful of checks), while a genuinely converging solve keeps
-        # setting >=5% lower minima and resetting the escalation. Since the
-        # shadow decouples the windows from the main dynamics, a false
-        # escalation costs only the duplicated step compute — so the test
-        # leans toward escalating.
-        stagnant = score >= 0.95 * c.chk_best
+        # Escalate only on EVIDENCE: (a) the solve is stagnant — the floor
+        # is the monotone running min; an infeasible orbit oscillates above
+        # a near-frozen floor while a converging solve keeps setting >=5%
+        # lower minima — AND (b) a 100x-loose certificate fires on the
+        # current deltas (measured: the loose certificate fires at 1-step
+        # windows within the first few checks on every infeasible battery
+        # problem, and never on the feasible benchmarks). Without (b),
+        # slow-improving feasible tails sit in escalated windows forever
+        # and the duplicated shadow steps cost ~2x per iteration (measured
+        # on the 10k banded SDP: 22 -> 14 iter/s).
+        near = prim_loose | dual_loose
+        stagnant = (score >= 0.95 * c.chk_best) & near
         stag_chks = jnp.where(stagnant, c.stag_chks + 1, 0)
         win = jnp.where(
             stagnant,
