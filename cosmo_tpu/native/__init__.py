@@ -55,6 +55,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, I64, I64,
             ]
             F64 = ctypes.POINTER(ctypes.c_double)
+            lib.nonzero_f64.restype = ctypes.c_int64
+            lib.nonzero_f64.argtypes = [ctypes.c_int64, F64, I64]
             lib.clique_graph_merge.restype = ctypes.c_int64
             lib.clique_graph_merge.argtypes = [
                 ctypes.c_int64,                       # nc
@@ -95,6 +97,23 @@ def _edges_from_adj(adj):
         np.asarray(ii, dtype=np.int64),
         np.asarray(jj, dtype=np.int64),
     )
+
+
+def nonzero_f64(x: np.ndarray) -> Optional[np.ndarray]:
+    """Indices of nonzeros of a float64 vector (np.flatnonzero equivalent,
+    ~5x faster on the 5e7-element dense b of a 10k-node decomposition);
+    None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    out = np.empty(x.size, dtype=np.int64)
+    import ctypes as _ct
+
+    k = lib.nonzero_f64(
+        x.size, x.ctypes.data_as(_ct.POINTER(_ct.c_double)), _ptr(out)
+    )
+    return out[:k]
 
 
 def min_degree_ordering(adj) -> Optional[np.ndarray]:
