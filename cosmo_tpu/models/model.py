@@ -603,7 +603,8 @@ def _measure_phase_times(self, times, Pd, Ad, qd, bd, cones, dyn, static,
         from ..ops import blockkkt
 
         factor_fn = jax.jit(lambda rv: blockkkt.factor(
-            kkt_block, Pd, Ad, dyn.sigma, rv))
+            kkt_block, Pd, Ad, dyn.sigma, rv,
+            build_pair=static.kkt_refine_steps > 0))
         t_factor = timed(factor_fn, rho_vec)
         times.init_factor_time = t_factor
         times.factor_update_time = t_factor * n_rho

@@ -303,6 +303,13 @@ def shard_blockkkt(mesh: Mesh, meta, A, axis: str = BLOCK_AXIS):
                 a_tgt=_put(jnp.asarray(b.a_tgt), rep),
                 p_idx=_put(jnp.asarray(b.p_idx), rep),
                 p_tgt=_put(jnp.asarray(b.p_tgt), rep),
+                # flat targets index the FIRST N blocks, so they survive the
+                # batch padding unchanged; the df32-pair assembly stream is
+                # replicated like the other pair lists
+                m_width=b.m_width,
+                m_perm=_put(jnp.asarray(b.m_perm), rep),
+                m_ptr=_put(jnp.asarray(b.m_ptr), rep),
+                m_uniq=_put(jnp.asarray(b.m_uniq), rep),
             )
         )
     return _dc.replace(meta, buckets=tuple(buckets))

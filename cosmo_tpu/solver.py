@@ -162,7 +162,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     elif use_dense:
         kkt_state = kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec)
     elif use_block:
-        kkt_state = blockkkt.factor(kkt_block, P, A, dyn.sigma, rho_vec)
+        kkt_state = blockkkt.factor(kkt_block, P, A, dyn.sigma, rho_vec,
+                                    build_pair=static.kkt_refine_steps > 0)
     else:
         kkt_state = ()
 
@@ -172,7 +173,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         if use_dense:
             return kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec)
         if use_block:
-            return blockkkt.factor(kkt_block, P, A, dyn.sigma, rho_vec)
+            return blockkkt.factor(kkt_block, P, A, dyn.sigma, rho_vec,
+                                    build_pair=static.kkt_refine_steps > 0)
         return ()
 
     # ------------------------------------------------------------------

@@ -22,11 +22,13 @@ def run(nodes, iters, label, **kw):
     P, q, A, b, sets, _ = problems.banded_sdp(
         n_nodes=nodes, bandwidth=8, seed=0, sparse=True
     )
-    settings = ct.Settings(
+    base = dict(
         eps_abs=0.0, eps_rel=0.0,               # never terminate: fixed work
         max_iter=iters, check_termination=25, check_infeasibility=40,
-        decompose=True, dtype=np.float32, **kw
+        decompose=True, dtype=np.float32,
     )
+    base.update(kw)
+    settings = ct.Settings(**base)
     m = ct.Model(settings)
     m.set(P, q, A, b, sets)
     r = m.optimize()                            # compile + warmup
