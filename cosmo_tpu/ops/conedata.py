@@ -77,6 +77,17 @@ class PsdBucket:
     scatter_scale: Any   # dtype [B, k, k]
     side: int = static_field()
     symmetrize: bool = static_field()  # square storage needs (X + X^T)/2
+    # Fast path for a bucket of uniform-side triangle blocks in contiguous
+    # rows (every uniform block_sdp / padded decomposed layout): the
+    # per-iteration [B,k,k] arbitrary-index gather/scatter — measured as
+    # the TOP per-iteration cost on chip (XLA TPU gathers run at a few
+    # elements/cycle) — becomes a contiguous reshape plus one small
+    # selection matmul on the MXU (svec->full expansion S, full->svec
+    # compression S2, with the sqrt2 scaling folded in).
+    contig_start: int = static_field(default=-1)   # -1 = fast path off
+    tri_len: int = static_field(default=0)          # tri_dim(r)
+    expand: Any = None     # dtype [tri_len, k*k]
+    compress: Any = None   # dtype [k*k, tri_len]
 
 
 @register_pytree_dataclass
@@ -390,6 +401,30 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
                         # scatter only from the upper triangle
                         s_idx[b, i, j] = t
                         s_scl[b, i, j] = 1.0 if i == j else SQRT2
+        # uniform-side triangle blocks in contiguous rows -> selection-
+        # matmul fast path (projections._psd_gather / project)
+        contig_start, tri_len, expand, compress = -1, 0, None, None
+        rs = {r for (_, r, _) in blocks}
+        # k <= 64: the selection matrices are O(tri(k) * k^2) = O(k^4)
+        # (8.6 GB at k = 256); at small k they are a few MB and the matmul
+        # replaces the gather at a fraction of its cost
+        if kinds == {False} and len(rs) == 1 and k <= 64:
+            r0 = next(iter(rs))
+            t0 = r0 * (r0 + 1) // 2
+            offs = [o for (o, _, _) in blocks]
+            if all(offs[i + 1] - offs[i] == t0 for i in range(len(offs) - 1)):
+                contig_start = int(offs[0])
+                tri_len = t0
+                expand = np.zeros((t0, k * k), dtype)
+                compress = np.zeros((k * k, t0), dtype)
+                for j in range(r0):
+                    for i in range(j + 1):
+                        t = _tri_index(i, j)
+                        scl = 1.0 if i == j else 1.0 / SQRT2
+                        expand[t, i * k + j] = scl
+                        expand[t, j * k + i] = scl
+                        compress[i * k + j, t] = 1.0 if i == j else SQRT2
+
         psd_bucket_objs.append(
             PsdBucket(
                 gather_idx=g_idx,
@@ -398,6 +433,10 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
                 scatter_scale=s_scl,
                 side=k,
                 symmetrize=symmetrize,
+                contig_start=contig_start,
+                tri_len=tri_len,
+                expand=expand,
+                compress=compress,
             )
         )
 

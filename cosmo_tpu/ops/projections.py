@@ -45,6 +45,16 @@ def _soc_project_bucket(x):
 
 
 def _psd_gather(v_ext, bucket: PsdBucket):
+    if bucket.contig_start >= 0:
+        # uniform contiguous triangle bucket: contiguous slice + one small
+        # selection matmul (svec->full with the 1/sqrt2 folded in) on the
+        # MXU — the arbitrary-index [B,k,k] gather was the single largest
+        # per-iteration cost on chip
+        B = bucket.gather_idx.shape[0]
+        V = lax.dynamic_slice(
+            v_ext, (bucket.contig_start,), (B * bucket.tri_len,)
+        ).reshape(B, bucket.tri_len)
+        return (V @ bucket.expand).reshape(B, bucket.side, bucket.side)
     X = v_ext[bucket.gather_idx] * bucket.gather_scale
     if bucket.symmetrize:
         X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
@@ -137,7 +147,16 @@ def project(w2, cones: ConeData, eig_state=(), loose=None):
             new_state.append(V)
         else:
             Y = _psd_project_bucket(X, cones, loose)
-        s = _ext(s).at[bucket.scatter_idx].set(Y * bucket.scatter_scale)[:-1]
+        if bucket.contig_start >= 0:
+            B = bucket.gather_idx.shape[0]
+            T = (Y.reshape(B, bucket.side * bucket.side) @ bucket.compress)
+            s = lax.dynamic_update_slice(
+                s, T.reshape(-1), (bucket.contig_start,)
+            )
+        else:
+            s = _ext(s).at[bucket.scatter_idx].set(
+                Y * bucket.scatter_scale
+            )[:-1]
 
     if cones.exp.idx.shape[0] > 0:
         V = v_ext[cones.exp.idx]

@@ -93,6 +93,10 @@ def shard_cones(mesh: Mesh, cones, axis: str = BLOCK_AXIS):
             gather_scale=_put(_pad_batch(bkt.gather_scale, d, 0), batch3),
             scatter_idx=_put(_pad_batch(bkt.scatter_idx, d, DUMP), batch3),
             scatter_scale=_put(_pad_batch(bkt.scatter_scale, d, 0), batch3),
+            # batch padding with dump blocks breaks the contiguous-rows
+            # precondition of the selection-matmul fast path — use the
+            # index maps (which encode the dump no-ops) when sharded
+            contig_start=-1, tri_len=0, expand=None, compress=None,
         )
         for bkt in cones.psd_buckets
     )
