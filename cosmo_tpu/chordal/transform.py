@@ -393,6 +393,12 @@ def reverse_transform(
     ``mu = -y`` entries overwrite (later blocks win, matching the reference's
     iteration order); optionally PSD-complete the dual.
     """
+    # host numpy up front: ufunc.at / fancy indexing on a JAX array takes a
+    # per-element fallback path (measured: 44 s vs 0.2 s on the 10k-node
+    # SDP's 194k decomposed rows)
+    x = np.asarray(x)
+    y = np.asarray(y)
+    s = np.asarray(s)
     x_o = x[: info.n_orig]
     mu = -y
     s_o = np.zeros(info.m_orig, dtype=s.dtype)
