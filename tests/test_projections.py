@@ -256,3 +256,36 @@ def test_support_function_per_family():
     yv = svec(-np.eye(3))
     assert float(projections.support_function(jnp.asarray(yv), cd, tol)) == 0.0
     assert np.isinf(float(projections.support_function(jnp.asarray(-yv), cd, tol)))
+
+
+def test_contiguous_bucket_fast_path_matches_index_maps():
+    """The selection-matmul fast path (uniform contiguous triangle buckets)
+    must produce bit-comparable projections to the generic index maps."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from cosmo_tpu.problems import tri_dim
+
+    sets = [C.PsdConeTriangle(tri_dim(6)) for _ in range(5)]
+    m = sum(s_.dim for s_ in sets)
+    v = RNG.standard_normal(m)
+    cd = conedata.compile_cones(sets, dtype=np.float64, psd_pad_to=8)
+    assert cd.psd_buckets[0].contig_start >= 0  # fast path engaged
+    s_fast, _ = projections.project(jnp.asarray(v), cd)
+    # disable the fast path -> legacy gather/scatter maps
+    legacy = dataclasses.replace(
+        cd,
+        psd_buckets=tuple(
+            dataclasses.replace(b, contig_start=-1, tri_len=0,
+                                expand=None, compress=None)
+            for b in cd.psd_buckets
+        ),
+    )
+    s_ref, _ = projections.project(jnp.asarray(v), legacy)
+    np.testing.assert_allclose(np.asarray(s_fast), np.asarray(s_ref),
+                               rtol=1e-13, atol=1e-14)
+    # membership margins agree too
+    for tol in (1e-6, 1e-2):
+        a = bool(projections.in_pol_recc(jnp.asarray(v), cd, tol))
+        b_ = bool(projections.in_pol_recc(jnp.asarray(v), legacy, tol))
+        assert a == b_
