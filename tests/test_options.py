@@ -272,3 +272,21 @@ def test_adaptive_rho_max_adaptions():
         r = m.optimize()
         # rho_updates[0] is the initial rho; adaptions are the rest
         assert len(r.info.rho_updates) - 1 == cap, (cap, r.info.rho_updates)
+
+
+def test_banner_reports_resolved_kkt_solver(capsys):
+    """The verbose banner must print the solve-time KKT solver (after the
+    sparse-problem auto-selection), not the pre-resolution default."""
+    import numpy as np
+    import scipy.sparse as sp
+    import cosmo_tpu as ct
+    from cosmo_tpu.problems import banded_sdp
+
+    P, q, A, b, sets, _ = banded_sdp(n_nodes=60, bandwidth=4, seed=0,
+                                     sparse=True)
+    m = ct.Model(ct.Settings(eps_abs=1e-4, eps_rel=1e-4, decompose=True,
+                             verbose=True, max_iter=2000))
+    m.set(P, q, A, b, sets)
+    r = m.optimize()
+    out = capsys.readouterr().out
+    assert "KKT solver = blockdiag" in out, out[-500:]
