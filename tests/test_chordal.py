@@ -276,3 +276,31 @@ def test_native_merge_matches_python(weight):
     assert t1.merge_log.clique_pairs == t2.merge_log.clique_pairs
     assert t1.merge_log.decisions == t2.merge_log.decisions
     assert t1.merge_log.num == t2.merge_log.num
+
+
+def test_dense_psd_cone_exempt_from_decomposition(capsys):
+    """DensePsdConeTriangle must NOT be decomposed even when its sparsity
+    pattern is chordal-decomposable (reference: convexset.jl:288-299 /
+    :383-394, chordal_decomposition.jl:57-79)."""
+    import numpy as np
+    import cosmo_tpu as ct
+    from cosmo_tpu.problems import banded_sdp
+
+    P, q, A, b, sets, _ = banded_sdp(n_nodes=40, bandwidth=4, seed=0)
+    assert len(sets) == 1
+    d = sets[0].dim
+    dense_set = [ct.DensePsdConeTriangle(d)]
+
+    m1 = ct.Model(ct.Settings(eps_abs=1e-6, eps_rel=1e-6, decompose=True,
+                              max_iter=4000))
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert m1.is_decomposed
+
+    m2 = ct.Model(ct.Settings(eps_abs=1e-6, eps_rel=1e-6, decompose=True,
+                              max_iter=4000))
+    m2.set(P, q, A, b, dense_set)
+    r2 = m2.optimize()
+    assert not m2.is_decomposed
+    assert r1.status == r2.status == "Solved"
+    assert abs(r1.obj_val - r2.obj_val) < 1e-4
