@@ -78,6 +78,16 @@ class BlockBucket:
     m_perm: Any = None               # int32 [nA+nP] sort-by-target order
     m_ptr: Any = None                # int32 [nUniq+1] CSR ptr over targets
     m_uniq: Any = None               # int32 [nUniq] unique flat targets
+    # Block-structured A applies: every row of A has all its nnz inside one
+    # component (that is what defines the components), so A restricted to
+    # the bucket is a batched dense [N, R, k] tensor and the per-iteration
+    # t = r1 + A'(rho r2) / nu = rho (A x - r2) become batched einsums
+    # instead of global COO ELL passes (the largest remaining per-iteration
+    # cost after the projection fast path).
+    R: int = static_field(default=0)         # padded rows per component
+    row_ids: Any = None              # int32 [N, R] row of A (pad = m)
+    av_idx: Any = None               # int32 [nAv] row-sorted nnz index
+    av_tgt: Any = None               # int32 [nAv] flat target in [N*R*k]
 
 
 @register_pytree_dataclass
@@ -183,6 +193,45 @@ def analyze(P, A, max_block: int = 64) -> BlockKKTMeta | None:
             pcol[pmask]
         ]
 
+        # block-structured A: rows of this bucket's components, padded to a
+        # power-of-2 R (the df32 pairwise reductions need pow2 lanes)
+        rows_nz = np.nonzero(counts > 0)[0]
+        rcomp = labels[ac[row_start[rows_nz]]]          # component per row
+        rmask = local[rcomp] >= 0
+        rows_b = rows_nz[rmask]
+        rloc = local[rcomp[rmask]]
+        rows_per = np.bincount(rloc, minlength=N)
+        R = 1 if rows_b.size == 0 else int(rows_per.max())
+        R = 1 << (R - 1).bit_length()
+        slot_order = np.argsort(rloc, kind="stable")
+        slot = np.empty(rows_b.size, np.int64)
+        rstart = np.zeros(N + 1, np.int64)
+        np.cumsum(rows_per, out=rstart[1:])
+        slot[slot_order] = (
+            np.arange(rows_b.size, dtype=np.int64) - rstart[rloc[slot_order]]
+        )
+        if N * R * k > 200_000_000:
+            # skewed rows-per-component would blow the dense-A cache (the
+            # padded tensor is N*R*k); fall back to the COO applies
+            R = 0
+        row_ids = None
+        if R:
+            row_ids = np.full((N, R), m, np.int64)
+            row_ids[rloc, slot] = rows_b
+        # nnz placement: entry e of row r goes to (comp, row slot, col pos)
+        ridx = np.repeat(np.arange(rows_b.size, dtype=np.int64),
+                         counts[rows_b])
+        total = int(counts[rows_b].sum())
+        off = np.zeros(rows_b.size + 1, np.int64)
+        np.cumsum(counts[rows_b], out=off[1:])
+        intra = np.arange(total, dtype=np.int64) - off[ridx]
+        if R:
+            av_idx = row_start[rows_b][ridx] + intra
+            av_tgt = (rloc[ridx] * R + slot[ridx]) * k + pos[ac[av_idx]]
+        else:
+            av_idx = np.zeros(0, np.int64)
+            av_tgt = np.zeros(0, np.int64)
+
         all_tgt = np.concatenate([tgt, ptgt])
         m_perm = np.argsort(all_tgt, kind="stable")
         sorted_t = all_tgt[m_perm]
@@ -204,6 +253,11 @@ def analyze(P, A, max_block: int = 64) -> BlockKKTMeta | None:
                 m_perm=np.asarray(m_perm, np.int32),
                 m_ptr=np.asarray(m_ptr, np.int32),
                 m_uniq=np.asarray(m_uniq, np.int32),
+                R=R,
+                row_ids=(np.asarray(row_ids, np.int32)
+                         if row_ids is not None else None),
+                av_idx=np.asarray(av_idx, np.int32),
+                av_tgt=np.asarray(av_tgt, np.int32),
             )
         )
     return BlockKKTMeta(n=int(n), buckets=tuple(buckets))
@@ -281,7 +335,18 @@ def factor(meta: BlockKKTMeta, P: Coo, A: Coo, sigma, rho_vec,
         # triangular solves; the df32 refinement envelope absorbs the
         # slight extra rounding when tolerances are tight
         Minv = jax.scipy.linalg.cho_solve((L, True), eye)
-        states.append((Minv, Mh, Ml) if build_pair else (Minv,))
+        # block-dense A for the batched t/nu applies (one scatter; A is
+        # constant across rho updates but rebuilding keeps the state
+        # self-contained under the lax.cond refactor)
+        Adense = (
+            jnp.zeros(b.N * b.R * b.k, dtype)
+            .at[b.av_tgt].set(A.vals[b.av_idx])
+            .reshape(b.N, b.R, b.k)
+        ) if b.row_ids is not None and b.spec is None else None
+        if build_pair:
+            states.append((Minv, Mh, Ml, Adense))
+        else:
+            states.append((Minv, Adense))
     return tuple(states)
 
 
@@ -317,7 +382,7 @@ def _matvec_pair(meta: BlockKKTMeta, state, x_pair):
     outh = jnp.zeros(meta.n + 1, dtype)
     outl = jnp.zeros(meta.n + 1, dtype)
     for b, st in zip(meta.buckets, state):
-        _, Mh, Ml = st
+        Mh, Ml = st[1], st[2]
         Xh = xh_e[b.cols][:, None, :]             # [N, 1, k]
         Xl = xl_e[b.cols][:, None, :]
         p, e = df32.two_prod(Mh, Xh)
@@ -335,6 +400,56 @@ def _matvec_pair(meta: BlockKKTMeta, state, x_pair):
     return outh[:-1], outl[:-1]
 
 
+def _block_matvec(meta: BlockKKTMeta, state, x, m: int):
+    """A @ x via the cached block-dense A (batched einsum per bucket)."""
+    xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    out = jnp.zeros(m + 1, x.dtype)
+    for b, st in zip(meta.buckets, state):
+        Ad = st[-1]
+        xb = xp[b.cols]
+        yb = jnp.einsum("nrk,nk->nr", Ad, xb)
+        out = out.at[jnp.asarray(b.row_ids).reshape(-1)].set(yb.reshape(-1))
+    return out[:-1]
+
+
+def _block_rmatvec(meta: BlockKKTMeta, state, y):
+    """A' @ y via the cached block-dense A."""
+    yp = jnp.concatenate([y, jnp.zeros(1, y.dtype)])
+    out = jnp.zeros(meta.n + 1, y.dtype)
+    for b, st in zip(meta.buckets, state):
+        Ad = st[-1]
+        yb = yp[b.row_ids]
+        xb = jnp.einsum("nrk,nr->nk", Ad, yb)
+        out = out.at[jnp.asarray(b.cols).reshape(-1)].set(xb.reshape(-1))
+    return out[:-1]
+
+
+def _block_rhs2(meta: BlockKKTMeta, state, rho_vec, r1, r2):
+    """Compensated t = r1 + A'(rho r2) via the block-dense A (replaces the
+    global COO df32 pass; the pairwise reduction runs over the pow2-padded
+    row axis)."""
+    dtype = r1.dtype
+    ph, pl = df32.two_prod(rho_vec, r2)
+    php = jnp.concatenate([ph, jnp.zeros(1, dtype)])
+    plp = jnp.concatenate([pl, jnp.zeros(1, dtype)])
+    outh = jnp.zeros(meta.n + 1, dtype)
+    outl = jnp.zeros(meta.n + 1, dtype)
+    for b, st in zip(meta.buckets, state):
+        Ad = st[-1]
+        yh = php[b.row_ids][:, :, None]            # [N, R, 1]
+        yl = plp[b.row_ids][:, :, None]
+        p, e = df32.two_prod(Ad, yh)
+        e = e + Ad * yl
+        # reduce over the row axis: move R last (pow2-padded in analyze)
+        hi, lo = df32._pairwise_sum(
+            jnp.swapaxes(p, 1, 2), jnp.swapaxes(e, 1, 2), axis=2
+        )                                           # [N, k]
+        flat = jnp.asarray(b.cols).reshape(-1)
+        outh = outh.at[flat].set(hi.reshape(-1))
+        outl = outl.at[flat].set(lo.reshape(-1))
+    return df32.add((outh[:-1], outl[:-1]), df32.promote(r1))
+
+
 def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
           refine_steps: int = 0):
     """Solve the KKT system through the cached block inverses.
@@ -345,13 +460,21 @@ def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
     the refinement residual uses the batched block pair-matvec; otherwise
     it falls back to the global compensated COO passes.
     """
+    use_block_A = len(state) > 0 and all(st[-1] is not None for st in state)
+    m = r2.shape[0]
     if refine_steps <= 0:
-        t = r1 + rmatvec(A, rho_vec * r2)
+        if use_block_A:
+            t = r1 + _block_rmatvec(meta, state, rho_vec * r2)
+        else:
+            t = r1 + rmatvec(A, rho_vec * r2)
         x = _apply(meta, state, t)
     else:
-        t_pair = df32.kkt_rhs2(A, rho_vec, r1, r2)
+        if use_block_A:
+            t_pair = _block_rhs2(meta, state, rho_vec, r1, r2)
+        else:
+            t_pair = df32.kkt_rhs2(A, rho_vec, r1, r2)
         x_pair = df32.promote(_apply(meta, state, t_pair[0]))
-        has_pair = len(state) > 0 and len(state[0]) == 3
+        has_pair = len(state) > 0 and len(state[0]) == 4
         for _ in range(refine_steps):
             if has_pair:
                 mh, ml = _matvec_pair(meta, state, x_pair)
@@ -362,5 +485,8 @@ def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
                 )
             x_pair = df32.add(x_pair, df32.promote(_apply(meta, state, r)))
         x = df32.to_f32(x_pair)
-    nu = rho_vec * (matvec(A, x) - r2)
+    if use_block_A:
+        nu = rho_vec * (_block_matvec(meta, state, x, m) - r2)
+    else:
+        nu = rho_vec * (matvec(A, x) - r2)
     return x, nu
