@@ -268,3 +268,37 @@ def test_dispatch_chunk_matches_unchunked_trajectory():
     assert r_chunked.status == r_plain.status == "Solved"
     assert r_chunked.iter == r_plain.iter
     np.testing.assert_array_equal(r_chunked.x, r_plain.x)
+
+
+def test_set_dimension_mismatches_raise():
+    """set() must reject inconsistent P/q/A/b/cone dims (reference:
+    interface.jl:35-38 DimensionMismatch battery)."""
+    P = np.eye(2); q = np.ones(2)
+    A = np.eye(2); b = np.zeros(2)
+    sets = [ct.Nonnegatives(2)]
+    bad = [
+        (P, np.ones(3), A, b, sets),
+        (np.eye(3), q, A, b, sets),
+        (P, q, np.ones((2, 3)), b, sets),
+        (P, q, A, np.zeros(3), sets),
+        (P, q, A, b, [ct.Nonnegatives(1)]),
+    ]
+    for args in bad:
+        m = ct.Model()
+        with pytest.raises(ValueError):
+            m.set(*args)
+
+
+def test_assemble_scalar_and_vector_P():
+    """assemble() accepts scalar / 1-D P forms (reference:
+    interface.jl:65-88: P given as scalar, 1x1 matrix, vector)."""
+    con = ct.Constraint(np.ones((1, 1)), np.zeros(1), ct.ZeroSet)
+    for P in (np.float64(1.0), np.ones((1, 1)), np.ones(1)):
+        m = ct.Model()
+        m.assemble(P, np.ones(1), [con])
+        assert m.P.shape == (1, 1) and m.P[0, 0] == 1.0
+    # diagonal vector P for n > 1
+    con2 = ct.Constraint(np.eye(2), np.zeros(2), ct.Nonnegatives)
+    m = ct.Model()
+    m.assemble(np.array([2.0, 3.0]), np.ones(2), [con2])
+    np.testing.assert_array_equal(m.P, np.diag([2.0, 3.0]))
