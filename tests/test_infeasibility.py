@@ -196,3 +196,26 @@ def test_dual_infeasible_random_mixed_cones():
                                                decompose=False))
         res = model.optimize()
         assert res.status == "Dual_infeasible", seed
+
+
+def test_primal_infeasible_under_decomposition():
+    """The shadow-trajectory certificates must fire through the chordal
+    decomposition pipeline too (the decomposed problem inherits the
+    infeasibility; reference: decomposition composes with the Banjac
+    conditions transparently)."""
+    import scipy.sparse as sp
+    from cosmo_tpu.problems import banded_sdp
+
+    P, q, A, b, sets, _ = banded_sdp(n_nodes=60, bandwidth=4, seed=0,
+                                     sparse=True)
+    n = A.shape[1]
+    # contradictory equalities on the first variable: x0 = 0 and x0 = 1
+    e = sp.csr_matrix((np.array([1.0, 1.0]),
+                       (np.array([0, 1]), np.array([0, 0]))), shape=(2, n))
+    A2 = sp.vstack([e, A], format="csr")
+    b2 = np.concatenate([[0.0, 1.0], b])
+    m = cosmo.Model(cosmo.Settings(eps_abs=1e-5, eps_rel=1e-5,
+                                   decompose=True, max_iter=10000))
+    m.set(P, q, A2, b2, [cosmo.ZeroSet(2)] + sets)
+    r = m.optimize()
+    assert r.status == "Primal_infeasible"
