@@ -143,7 +143,7 @@ def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto",
     )
     cones = conedata.compile_cones(
         sets, dtype=dtype, psd_pad_to=8, eigh_backend=eigh_backend,
-        jacobi_sweeps=6,
+        jacobi_sweeps=6, accel_on=False,   # bench runs plain ADMM
     )
     # block_sdp has no rho_eq-amplified rows, so auto refinement is off
     static, dyn = split_settings(settings, m, n, dtype, refine_hint=False)

@@ -307,6 +307,7 @@ class Model:
             sets, dtype=dtype, psd_pad_to=settings.psd_pad_to,
             eigh_backend=settings.eigh_backend,
             jacobi_sweeps=settings.jacobi_sweeps,
+            accel_on=settings.accelerator is not None,
         )
 
         # representation choice: sparse inputs (or huge dense shapes) go

@@ -146,7 +146,8 @@ class ConeData:
     custom: Tuple = static_field(default=())
 
 
-def resolve_eigh_backend(requested: str, buckets=None) -> str:
+def resolve_eigh_backend(requested: str, buckets=None,
+                         accel_on: bool = True) -> str:
     """The single source of truth for resolving an ``"auto"`` eigh backend.
 
     Used by :func:`compile_cones` (which sees all PSD buckets) and by the
@@ -154,14 +155,18 @@ def resolve_eigh_backend(requested: str, buckets=None) -> str:
     which resolves conservatively). Off-TPU, LAPACK/XLA eigh always wins.
     On TPU, the Pallas Jacobi kernel is selected for a *single* bucket of
     side <= 16 (~2x the Newton-Schulz polar throughput there: 434 vs 932
-    us/proj at [512, 16, 16] on v5e); everything else — multiple buckets
-    (mixed kernel shapes have triggered TPU-worker faults) or larger blocks
-    (the serial rotation chain loses to pure batched matmuls) — resolves to
-    polar. The historical "Pallas faults under sustained runs" repro was a
-    20000-iteration single device dispatch, which the axon relay kills for
-    ANY program; Model-driven solves now bound dispatch length via
-    ``Settings.dispatch_chunk``, and 8000-iteration chunked pallas solves
-    measure clean.
+    us/proj at [512, 16, 16] on v5e) — but ONLY when Anderson acceleration
+    is off (``accel_on=False``): f32 Jacobi carries an inherent ~1e-5
+    relative backward-error floor (accumulated similarity-transform
+    rounding over ~sweeps*k^2/2 rotations; measured 6e-6 at k=8, 1.7e-5 at
+    k=16, flat in sweep count, vs 4e-7 for polar), and that projection
+    noise destabilizes the safeguarded AA dynamics — measured: an 8x8
+    min-eig SDP orbits at rp~0.16 forever under AA+pallas but solves in
+    ~690 iters under AA+polar and ~450 under plain+pallas. Everything else
+    — multiple buckets (mixed kernel shapes have triggered TPU-worker
+    faults) or larger blocks (the serial rotation chain loses to pure
+    batched matmuls) — resolves to polar. Explicit ``"pallas"`` remains
+    available for throughput-critical plain-ADMM workloads.
     """
     if requested != "auto":
         return requested
@@ -169,7 +174,7 @@ def resolve_eigh_backend(requested: str, buckets=None) -> str:
 
     if jax.default_backend() != "tpu":
         return "xla"
-    if buckets is not None:
+    if buckets is not None and not accel_on:
         if len(buckets) == 1 and buckets[0].side <= 16:
             return "pallas"
     return "polar"
@@ -183,8 +188,12 @@ def _tri_index(i: int, j: int) -> int:
 
 def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8,
                   soc_pad_pow2: bool = True, eigh_backend: str = "xla",
-                  jacobi_sweeps: int = 8) -> ConeData:
-    """Build the batched cone representation from an ordered cone list."""
+                  jacobi_sweeps: int = 8, accel_on: bool = True) -> ConeData:
+    """Build the batched cone representation from an ordered cone list.
+
+    ``accel_on``: whether the solve will run Anderson acceleration — gates
+    the ``"auto"`` backend's Pallas-Jacobi selection (its f32 projection
+    noise floor destabilizes AA; see :func:`resolve_eigh_backend`)."""
     m = sum(s.dim for s in sets)
     DUMP = m
 
@@ -474,7 +483,7 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             tol=np.zeros((0,), dtype),
         )
 
-    eigh_backend = resolve_eigh_backend(eigh_backend, psd_bucket_objs)
+    eigh_backend = resolve_eigh_backend(eigh_backend, psd_bucket_objs, accel_on)
 
     return ConeData(
         m=m,

@@ -34,8 +34,10 @@ from .settings import DynConfig, StaticConfig, KKT_BLOCK, KKT_DENSE, KKT_MINRES
 
 RHO_LOG_LEN = 64
 
-# Base number of plain ADMM iterations an infeasibility-certificate window
-# spans (the accelerator is suspended while a window is armed). 1 is the
+# Base number of plain ADMM steps an infeasibility-certificate window spans
+# on the SHADOW trajectory (the main trajectory and its accelerator are
+# never touched — the shadow forks from the last genuine plain-ADMM iterate
+# when a window arms and advances with plain steps while armed). 1 is the
 # reference's cadence (one non-accelerated iteration per check,
 # solver.jl:323-349); stagnant far-from-convergence solves escalate the
 # window x4 per fruitless check up to 512 — the certificates need the plain
@@ -65,8 +67,10 @@ class LoopCarry(NamedTuple):
     rho_vec: Any
     kkt: Any               # DenseKKTState or () for CG
     sol: Any               # [n+m] last KKT solution (CG warm start / views)
-    dx: Any                # certificate base x (set when a window arms)
-    dy: Any                # certificate base mu (set when a window arms)
+    dx: Any                # certificate base x (set by the first shadow step)
+    dy: Any                # certificate base mu (set by the first shadow step)
+    gx: Any                # [n] main-trajectory x at the previous infeas check
+    gy: Any                # [m] main-trajectory mu at the previous infeas check
     w_sh: Any              # [n+m] certificate shadow iterate (plain ADMM)
     mu_sh: Any             # [m] shadow mu of the last shadow step
     infeas_due: Any
@@ -230,6 +234,11 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         """Moreau: mu = rho (w - Pi(w)) (solver.jl:23-26)."""
         return rho_vec * (w_prev[n:] - s)
 
+    # identity eigenbasis carry for the certificate shadow projections: the
+    # amortized backend's staleness guard then always runs full sweeps —
+    # the shadow must never reuse the MAIN iterate's basis (ADVICE r2)
+    eig_fresh = projections.init_eig_state(cones, dtype)
+
     # ------------------------------------------------------------------
     # Initial state (solver.jl:125-138)
     # ------------------------------------------------------------------
@@ -255,7 +264,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             aa0 = accel.init_accel(n + m, static.accel_mem, dtype)
         else:
             aa0 = ()
-        eig0 = projections.init_eig_state(cones, dtype)
+        eig0 = eig_fresh
 
         carry0 = LoopCarry(
             w=w0, w_prev=w0, s=s0v,
@@ -270,6 +279,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             sol=sol0,
             dx=jnp.zeros(n, dtype),
             dy=jnp.zeros(m, dtype),
+            gx=jnp.zeros(n, dtype),
+            gy=jnp.zeros(m, dtype),
             w_sh=w0,
             mu_sh=jnp.zeros(m, dtype),
             infeas_due=jnp.asarray(False),
@@ -463,7 +474,9 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
     def check_infeasibility(c: LoopCarry) -> LoopCarry:
         # deltas span the shadow trajectory's plain window (c.dy/c.dx hold
-        # mu and x at arm time, c.mu_sh/c.w_sh the shadow's current state)
+        # the Moreau/x base the first shadow step captured, c.mu_sh/c.w_sh
+        # the shadow's current state) — every endpoint is a plain-operator
+        # iterate, so the certified direction never spans an Anderson jump
         dy = c.dy - c.mu_sh
         dx = c.w_sh[:n] - c.dx
         # strict + 100x-loose certificates from ONE pass (the loose ones
@@ -477,6 +490,26 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             dx, P, A, q, cones, sm,
             (dyn.eps_dual_inf, 100.0 * dyn.eps_dual_inf),
         )
+        # Escalation-gate evidence from the MAIN trajectory's check-to-check
+        # deltas (~check_infeasibility iterations apart): an AA orbit on an
+        # infeasible problem keeps the divergence-ray energy in these long-
+        # baseline deltas even though its short shadow deltas look clean —
+        # a 1-plain-step window from an orbit point shows no ray at all
+        # (measured: the PSD mixed-cone battery never escalates without
+        # this). Gating only — the certified status always comes from the
+        # clean shadow deltas above. The `norm > tol` requirement inside
+        # the certificates keeps converging feasible solves (tiny deltas)
+        # from firing the gate.
+        mu_now = recover_mu(c.w_prev, c.s, c.rho_vec)
+        x_now = c.w_prev[:n]
+        prim_gate = infeas.is_primal_infeasible(
+            c.gy - mu_now, P, A, b, cones, sm, 100.0 * dyn.eps_prim_inf
+        )
+        dual_gate = infeas.is_dual_infeasible(
+            x_now - c.gx, P, A, q, cones, sm, 100.0 * dyn.eps_dual_inf
+        )
+        prim_loose |= prim_gate
+        dual_loose |= dual_gate
         status = c.status
         cost = c.cost
         status = jnp.where(
@@ -490,16 +523,17 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         )
         cost = jnp.where(dual_inf & ~prim_inf, jnp.asarray(-jnp.inf, dtype), cost)
         # Escalating window: a check that certifies nothing while the solve
-        # is BOTH stagnant (no residual-score improvement since the last
-        # check) and far from convergence grows the next plain window x4 —
-        # an infeasible orbit needs a sustained plain stretch for the ray
-        # to emerge (the PSD mixed-cone battery detects only after ~250
-        # plain iterations from an AA orbit point). Feasible solves —
-        # including slow f32 endgame crawls, which improve ~0.3% per check
-        # — keep beating the 0.1% bar and stay on the reference's
-        # one-plain-iteration cadence; infeasible orbits oscillate around
-        # a frozen best (magnitude is NOT a separator: a large-norm
-        # infeasible problem can sit at relative score 7e-5 forever).
+        # is BOTH stagnant (score >= 0.95x the best seen at any check, i.e.
+        # no 5% improvement) and showing loose-certificate evidence grows
+        # the next plain window x4 — an infeasible orbit needs a sustained
+        # plain stretch for the ray to emerge (the PSD mixed-cone battery
+        # detects only after ~250 plain iterations from an AA orbit point).
+        # Slow feasible crawls (~0.3%/check) do NOT beat the 5% bar, so the
+        # `near` loose-certificate gate below is the sole guard that keeps
+        # feasible solves out of escalated 2x-cost windows; infeasible
+        # orbits oscillate around a frozen best (magnitude is NOT a
+        # separator: a large-norm infeasible problem can sit at relative
+        # score 7e-5 forever).
         score = c.res.r_prim / (c.res.max_norm_prim + 1e-10) + c.res.r_dual / (
             c.res.max_norm_dual + 1e-10
         )
@@ -523,7 +557,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         )
         chk_best = jnp.minimum(c.chk_best, score)
         c = c._replace(
-            dy=dy, dx=dx, status=status, cost=cost,
+            dy=dy, dx=dx, gx=x_now, gy=mu_now, status=status, cost=cost,
             infeas_due=jnp.asarray(False), dy_age=jnp.asarray(-1, jnp.int32),
             inf_win=win, chk_best=chk_best,
             stag_chks=stag_chks,
@@ -622,10 +656,19 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # takes O(100) plain steps to emerge from an AA orbit point.
         if static.infeas_enabled:
             def arm(c: LoopCarry) -> LoopCarry:
-                mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
+                # Fork from a PLAIN-operator iterate: when this iteration
+                # accelerated, c.w is the (possibly safeguard-rejected)
+                # Anderson candidate — aa.g_last holds the last genuine
+                # ADMM output, so the shadow starts there instead. The
+                # delta base (dy/dx) is captured by the first shadow step
+                # below from the shadow's own Moreau point, so BOTH window
+                # endpoints are plain-operator iterates and window-1
+                # evidence never spans an AA jump.
+                w_fork = c.w
+                if static.accel_mem > 0:
+                    w_fork = jnp.where(c.aa.success, c.aa.g_last, c.w)
                 return c._replace(
-                    w_sh=c.w, mu_sh=mu_k, dy=mu_k, dx=c.w[:n],
-                    dy_age=jnp.zeros((), jnp.int32),
+                    w_sh=w_fork, dy_age=jnp.zeros((), jnp.int32),
                 )
 
             c = lax.cond(
@@ -633,17 +676,29 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             )
 
             def shadow_step(c: LoopCarry) -> LoopCarry:
+                # The shadow projection never uses the amortized eigenbasis
+                # carry (c.eig belongs to the MAIN iterate; over a long
+                # window the shadow diverges from it, degrading a
+                # warm-started fixed-sweep projection): the identity carry
+                # trips the staleness guard, which falls back to full
+                # sweeps — a fresh projection.
                 s_sh, _ = projections.project(
-                    c.w_sh[n:], cones, c.eig,
+                    c.w_sh[n:], cones, eig_fresh,
                     loose=c.loose if static.mixed_precision else None,
                 )
                 mu_sh = c.rho_vec * (c.w_sh[n:] - s_sh)
+                # base capture on the first step after arm: mu_sh is the
+                # Moreau image of the fork point itself
+                is_base = c.dy_age == 0
+                dy = jnp.where(is_base, mu_sh, c.dy)
+                dx = jnp.where(is_base, c.w_sh[:n], c.dx)
                 res_min_sh = jnp.minimum(c.res.r_prim, c.res.r_dual)
                 w_sh, _, k_sh = admm_x_w(
                     c.w_sh, s_sh, c.kkt, c.rho_vec, c.sol, it, res_min_sh
                 )
                 return c._replace(
-                    w_sh=w_sh, mu_sh=mu_sh, dy_age=c.dy_age + 1,
+                    w_sh=w_sh, mu_sh=mu_sh, dy=dy, dx=dx,
+                    dy_age=c.dy_age + 1,
                     kkt_iters=c.kkt_iters + k_sh,
                 )
 
@@ -742,7 +797,10 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # --- infeasibility flag logic (solver.jl:323-349) ---
         if static.infeas_enabled:
             set_due = (jnp.mod(it, static.check_infeasibility) == 0) & ~just_declined
-            do_check = c.infeas_due & (c.dy_age >= c.inf_win)
+            # +1: the first shadow step only captures the delta base (both
+            # endpoints plain-operator iterates), so a window of length L
+            # needs L+1 shadow steps before its deltas span L plain steps
+            do_check = c.infeas_due & (c.dy_age >= c.inf_win + 1)
             c = c._replace(infeas_due=c.infeas_due | set_due)
             c = lax.cond(do_check, check_infeasibility, lambda c: c, c)
 
