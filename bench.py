@@ -155,8 +155,10 @@ def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto",
 
     def run():
         with jax.default_matmul_precision("highest"):
-            out = solver_mod.solve_jit(
-                Pd, Ad, qd, bd, cones, x0, s0, mu0, dyn, static=static
+            # chunked entry: auto-bounds dispatch length on the axon relay
+            # (a no-op at bench iteration counts)
+            out = solver_mod.solve_chunked(
+                Pd, Ad, qd, bd, cones, x0, s0, mu0, dyn, static
             )
         # int() forces a host transfer: through the remote-TPU tunnel,
         # block_until_ready alone does not reliably synchronize

@@ -113,9 +113,13 @@ def analyse_cone(
     return t, ordering
 
 
-def decompose(P, q, A, b, sets, settings) -> Optional[ChordalInfo]:
+def decompose(P, q, A, b, sets, settings, pad_batch: int = 1) -> Optional[ChordalInfo]:
     """Analyse all decomposable PSD cones and build the compact decomposed
-    problem. Returns None when nothing decomposes."""
+    problem. Returns None when nothing decomposes.
+
+    ``pad_batch``: device count of the target mesh — the compact transform
+    rounds each side-group's block count up with dummy blocks so batch
+    sharding keeps the uniform-contiguous bucket layout (transform.py)."""
     compact = bool(getattr(settings, "compact_transformation", True))
     import scipy.sparse as sp
 
@@ -157,7 +161,14 @@ def decompose(P, q, A, b, sets, settings) -> Optional[ChordalInfo]:
     if not patterns:
         return None
     if compact:
-        return compact_transform(P, q, A, b, sets, patterns)
+        # block padding to the conedata bucket ladder: every decomposed PSD
+        # bucket becomes uniform-side + contiguous, so the selection-matmul
+        # projection fast path covers the whole decomposed solve
+        return compact_transform(
+            P, q, A, b, sets, patterns,
+            pad_to=int(getattr(settings, "psd_pad_to", 1)),
+            pad_batch=int(pad_batch),
+        )
     return standard_transform(P, q, A, b, sets, patterns)
 
 

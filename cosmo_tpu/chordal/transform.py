@@ -102,9 +102,18 @@ class ChordalInfo:
             mu_d = np.concatenate([np.zeros(self.m_orig, dtype=mu0.dtype),
                                    mu0[h_rows]])
         else:
-            mult = np.bincount(self.row_map, minlength=self.m_orig)[self.row_map]
-            s_d = s0[self.row_map] / np.maximum(mult, 1)
-            mu_d = mu0[self.row_map]
+            # Never copy the m_orig-sized vectors (m_orig can be millions of
+            # rows pre-decomposition and this container's host memory runs
+            # at ~25 MB/s — a single 16 MB concatenate measured 0.85 s):
+            # gather the m_new needed entries and mask the pad rows
+            # (row_map == m_orig, the dump slot) to 0.
+            mult = np.bincount(
+                self.row_map, minlength=self.m_orig + 1
+            )[self.row_map]
+            safe = np.minimum(self.row_map, self.m_orig - 1)
+            pad = self.row_map == self.m_orig
+            s_d = np.where(pad, 0.0, s0[safe] / np.maximum(mult, 1))
+            mu_d = np.where(pad, 0.0, mu0[safe])
         return x_d, s_d, mu_d
 
 
@@ -136,6 +145,8 @@ def compact_transform(
     b: np.ndarray,
     sets: list,
     patterns: List[SparsityPattern],
+    pad_to: int = 1,
+    pad_batch: int = 1,
 ) -> ChordalInfo:
     """Build the decomposed problem (reference: augment_clique_based!,
     transformations.jl:152-200).
@@ -144,11 +155,56 @@ def compact_transform(
     as a row-selection operator S (new data rows <- original rows) applied
     to A and b, plus a sparse overlap block O of (+1, -1) columns:
     ``A_new = [S A  |  O]``.
+
+    ``pad_to`` > 1 pads every clique block to its conedata bucket side (the
+    geometric ladder, :func:`cosmo_tpu.ops.conedata.pad_side`) *inside the
+    problem*: the padded block gets ``tri_dim(kb)`` rows with the real
+    clique occupying the leading ``tri_dim(nb)`` (the svec layout makes the
+    real entries a contiguous prefix), and pad rows carry zero A-rows and
+    b = 0 — pad coordinates are then exactly 0 along the whole ADMM
+    trajectory (the projection of [[M,0],[0,0]] is [[Pi(M),0],[0,0]], the
+    KKT rows are trivially satisfied). Cliques are grouped by padded side
+    so every PSD bucket is uniform-side AND contiguous, which is the
+    precondition of the selection-matmul projection fast path
+    (ops/projections._psd_gather) — the measured top per-iteration cost
+    otherwise (arbitrary-index [B,k,k] gathers).
+
+    ``pad_batch`` > 1 additionally appends whole dummy blocks (all pad
+    rows) so each side-group's block count is a multiple of the device
+    count — batch sharding then never breaks contiguity
+    (parallel/mesh.shard_cones keeps the fast path).
     """
     import scipy.sparse as sp
 
+    from ..ops.conedata import pad_side
+
     m, n = A.shape
     pat_by_cone = {p.cone_index: p for p in patterns}
+
+    def _kb(nblk: int) -> int:
+        return pad_side(nblk, pad_to) if pad_to > 1 else nblk
+
+    # --- per-pattern block layout plan: [(clique or None, nb, kb), ...] ---
+    # cliques grouped by padded side (stable within a group: reverse post
+    # order, reference add_entries! loop num_cliques:-1:1), dummies appended
+    # per group to round the count up to pad_batch
+    plans = {}
+    for p in patterns:
+        t = p.tree
+        groups: dict = {}
+        for pos in range(t.num - 1, -1, -1):
+            c = int(t.snd_post[pos])
+            nblk = len(t.snd[c]) + len(t.sep[c])
+            groups.setdefault(_kb(nblk), []).append((c, nblk))
+        plan = []
+        for kb in sorted(groups):
+            for c, nblk in groups[kb]:
+                plan.append((c, nblk, kb))
+            if pad_batch > 1:
+                plan.extend(
+                    [(None, 0, kb)] * ((-len(groups[kb])) % pad_batch)
+                )
+        plans[p.cone_index] = plan
 
     # --- sizes ---
     num_overlaps = 0
@@ -156,16 +212,17 @@ def compact_transform(
     for k, cone in enumerate(sets):
         if k in pat_by_cone:
             t = pat_by_cone[k].tree
-            for pos in range(t.num):
-                c = int(t.snd_post[pos])
-                nblk = len(t.snd[c]) + len(t.sep[c])
-                m_new += tri_dim(nblk)
-                num_overlaps += tri_dim(len(t.sep[c]))
+            for c, nblk, kb in plans[k]:
+                m_new += tri_dim(kb)
+                if c is not None:
+                    num_overlaps += tri_dim(len(t.sep[c]))
         else:
             m_new += cone.dim
     n_new = n + num_overlaps
 
-    row_map = np.zeros(m_new, dtype=np.int64)
+    # pad rows map to the dump slot m (no original row); reverse_transform
+    # and map_warm_start extend their vectors by one slot accordingly
+    row_map = np.full(m_new, m, dtype=np.int64)
     data_mask = np.zeros(m_new, dtype=bool)   # rows that carry original data
     ov_child_rows: list = []                  # +1 rows, one per overlap var
     ov_parent_rows: list = []                 # -1 rows
@@ -189,19 +246,22 @@ def compact_transform(
         t = pat.tree
         ordering = pat.ordering
         rs = row_start_orig
+        plan = plans[k]
 
-        # row starts per clique (layout: post positions from last to first,
-        # reference: add_entries! loop num_cliques:-1:1)
+        # row starts per clique in layout order
         clique_row_start = {}
         rp = row_ptr
-        for pos in range(t.num - 1, -1, -1):
-            c = int(t.snd_post[pos])
-            clique_row_start[c] = rp
-            rp += tri_dim(len(t.snd[c]) + len(t.sep[c]))
+        for c, nblk, kb in plan:
+            if c is not None:
+                clique_row_start[c] = rp
+            rp += tri_dim(kb)
 
         ordering = np.ascontiguousarray(ordering, dtype=np.int64)
-        for pos in range(t.num - 1, -1, -1):
-            c = int(t.snd_post[pos])
+        for c, nblk, kb in plan:
+            if c is None:
+                # dummy block: all rows stay at the dump map / zero data
+                sets_new.append(C.PsdConeTriangle(tri_dim(kb)))
+                continue
             snd_c = np.fromiter(t.snd[c], np.int64, len(t.snd[c]))
             sep_c = np.fromiter(t.sep[c], np.int64, len(t.sep[c]))
             snd_o = np.sort(ordering[snd_c])
@@ -215,6 +275,8 @@ def compact_transform(
             gj = clique_sorted[jj]
             orig_rows = rs + gj * (gj + 1) // 2 + gi
             base = clique_row_start[c]
+            # svec entries of the real nb x nb block are the contiguous
+            # prefix of the padded block's rows (column-major triangle)
             new_rows = base + np.arange(orig_rows.size)
             row_map[new_rows] = orig_rows
             is_ov = in_sep[ii] & in_sep[jj]
@@ -232,7 +294,7 @@ def compact_transform(
                 ov_child_rows.append(new_rows[is_ov])
                 ov_parent_rows.append(parent_rows)
 
-            sets_new.append(C.PsdConeTriangle(tri_dim(nb)))
+            sets_new.append(C.PsdConeTriangle(tri_dim(kb)))
 
         row_ptr = rp
         row_start_orig += cone.dim
@@ -401,15 +463,17 @@ def reverse_transform(
     s = np.asarray(s)
     x_o = x[: info.n_orig]
     mu = -y
-    s_o = np.zeros(info.m_orig, dtype=s.dtype)
-    mu_o = np.zeros(info.m_orig, dtype=y.dtype)
+    # one extra dump slot absorbs pad rows (row_map == m_orig for the
+    # block-padding rows the compact transform may add)
+    s_o = np.zeros(info.m_orig + 1, dtype=s.dtype)
+    mu_o = np.zeros(info.m_orig + 1, dtype=y.dtype)
 
     if info.mode == "standard":
         # s = H s_blocks; mu = H mu_blocks averaged over overlap counts
         # (reference: fill_dual_variables!, chordal_decomposition.jl:153-168)
-        s_o[:] = info.H @ s[info.m_orig :]
+        s_o[:-1] = info.H @ s[info.m_orig :]
         counts = np.asarray(info.H.sum(axis=1)).ravel()
-        mu_o[:] = info.H @ mu[info.m_orig :] / np.maximum(counts, 1.0)
+        mu_o[:-1] = info.H @ mu[info.m_orig :] / np.maximum(counts, 1.0)
     else:
         np.add.at(s_o, info.row_map, s)
         # overwrite semantics, "last write wins" (reference add_blocks! order)
@@ -417,6 +481,8 @@ def reverse_transform(
         _, first_of_rev = np.unique(rev, return_index=True)
         last_idx = len(info.row_map) - 1 - first_of_rev
         mu_o[info.row_map[last_idx]] = mu[last_idx]
+    s_o = s_o[:-1]
+    mu_o = mu_o[:-1]
 
     if complete_dual:
         for pat in info.patterns:

@@ -63,6 +63,13 @@ class Model:
         self._chordal_info = None
         self._decomp_key = None
         self._blockkkt_cache = None
+        # device-residency cache across re-solves: structure-keyed device
+        # copies of P/A/cones/blockkkt (the tunnel pays ~a full RTT per
+        # host->device array each dispatch otherwise) + version-keyed
+        # q/b and warm-start device vectors
+        self._dev_cache = None
+        self._qb_version = 0
+        self._ws_version = 0
         self._last_result: Optional[results_mod.Result] = None
         # the interval chosen by the auto rho-adaptation probe
         # (settings.adaptive_rho_interval == 0), for introspection
@@ -135,6 +142,9 @@ class Model:
         self._chordal_info = None
         self._decomp_key = None
         self._blockkkt_cache = None
+        self._dev_cache = None
+        self._qb_version += 1
+        self._ws_version += 1
         self.x0 = np.zeros(n)
         self.s0 = np.zeros(m)
         self.mu0 = np.zeros(m)
@@ -168,6 +178,9 @@ class Model:
         self._chordal_info = None
         self._decomp_key = None
         self._blockkkt_cache = None
+        self._dev_cache = None
+        self._qb_version += 1
+        self._ws_version += 1
         self.x0 = np.zeros(n)
         self.s0 = np.zeros(m)
         self.mu0 = np.zeros(m)
@@ -213,6 +226,7 @@ class Model:
             if len(b) != self.model_size[0]:
                 raise ValueError("The dimension of b does not agree with m.")
             self.b = b
+        self._qb_version += 1
         return self
 
     def warm_start_primal(self, x0, ind=None):
@@ -223,6 +237,7 @@ class Model:
             self.s0[:] = self.b - self.A @ x0
         else:
             self.x0[ind] = x0
+        self._ws_version += 1
         return self
 
     def warm_start_slack(self, s0, ind=None):
@@ -231,6 +246,7 @@ class Model:
             self.s0[:] = s0
         else:
             self.s0[ind] = s0
+        self._ws_version += 1
         return self
 
     def warm_start_dual(self, y0, ind=None):
@@ -240,6 +256,7 @@ class Model:
             self.mu0[:] = -y0
         else:
             self.mu0[ind] = -y0
+        self._ws_version += 1
         return self
 
     def warm_start(self, x0=None, y0=None, s0=None):
@@ -273,7 +290,15 @@ class Model:
         t_graph = time.perf_counter()
         P, q, A, b, sets = self.P, self.q, self.A, self.b, self.sets
         chordal_info = None
-        decomp_key = (settings.merge_strategy, settings.compact_transformation)
+        # mesh size enters the transform (dummy-block batch padding keeps
+        # bucket contiguity under sharding), so it keys the structure cache
+        n_dev = 1
+        if mesh is not None:
+            from ..parallel import BLOCK_AXIS
+
+            n_dev = int(mesh.shape[BLOCK_AXIS])
+        decomp_key = (settings.merge_strategy, settings.compact_transformation,
+                      settings.psd_pad_to, n_dev)
         if settings.decompose and any(
             isinstance(s, (C.PsdCone, C.PsdConeTriangle)) and getattr(s, "decomposable", False)
             for s in sets
@@ -291,7 +316,8 @@ class Model:
                 q, b = q2, b2
                 self.is_decomposed = True
             else:
-                chordal_info = chordal.decompose(P, q, A, b, sets, settings)
+                chordal_info = chordal.decompose(P, q, A, b, sets, settings,
+                                                 pad_batch=n_dev)
                 if chordal_info is not None:
                     P, q, A, b, sets = chordal_info.problem
                     self.is_decomposed = True
@@ -303,42 +329,94 @@ class Model:
         m, n = A.shape
 
         t_setup = time.perf_counter()
-        cones = conedata.compile_cones(
-            sets, dtype=dtype, psd_pad_to=settings.psd_pad_to,
-            eigh_backend=settings.eigh_backend,
-            jacobi_sweeps=settings.jacobi_sweeps,
-            accel_on=settings.accelerator is not None,
-        )
-
         # representation choice: sparse inputs (or huge dense shapes) go
         # through the COO segment-sum matvec path + matrix-free CG KKT
         use_sparse = settings.sparse is True or (
             settings.sparse == "auto" and (sp.issparse(A) or sp.issparse(P))
         )
-        # sparse problems cannot use the dense Cholesky; prefer the batched
-        # block-diagonal direct solver (ops/blockkkt.py) whenever the
-        # reduced system's column-intersection graph decouples into small
-        # components (always true for compact-decomposed dual-form SDPs),
-        # else fall back to matrix-free CG
-        kkt_block = None
-        if use_sparse and isinstance(settings.kkt_solver, str) and (
-            settings.kkt_solver in (KKT_DENSE, KKT_BLOCK)
-        ):
-            # the analysis is purely structural, so it survives q/b
-            # updates and warm-started re-solves (invalidated by set())
-            bk_key = (int(settings.kkt_block_max), self._decomp_key,
-                      self.is_decomposed)
-            cached = getattr(self, "_blockkkt_cache", None)
-            if cached is not None and cached[0] == bk_key:
-                kkt_block = cached[1]
-            else:
-                from ..ops import blockkkt
+        mesh_key = (
+            None if mesh is None else tuple(d.id for d in mesh.devices.flat)
+        )
+        struct_key = (
+            str(dtype), bool(use_sparse), mesh_key, decomp_key,
+            self.is_decomposed, int(settings.psd_pad_to),
+            settings.eigh_backend, int(settings.jacobi_sweeps),
+            settings.accelerator is not None,
+            settings.kkt_solver if isinstance(settings.kkt_solver, str)
+            else id(settings.kkt_solver),
+            int(settings.kkt_block_max),
+        )
+        cache = self._dev_cache
+        if cache is not None and cache.get("struct_key") == struct_key:
+            # structure hit: the device copies of P/A/cones/blockkkt (and
+            # the compiled-cone index maps behind them) are reused — a
+            # re-solve only moves the version-changed vectors
+            cones = cache["cones"]
+            kkt_block = cache["kkt_block"]
+            Pd, Ad = cache["Pd"], cache["Ad"]
+        else:
+            cones = conedata.compile_cones(
+                sets, dtype=dtype, psd_pad_to=settings.psd_pad_to,
+                eigh_backend=settings.eigh_backend,
+                jacobi_sweeps=settings.jacobi_sweeps,
+                accel_on=settings.accelerator is not None,
+            )
+            # sparse problems cannot use the dense Cholesky; prefer the
+            # batched block-diagonal direct solver (ops/blockkkt.py)
+            # whenever the reduced system's column-intersection graph
+            # decouples into small components (always true for
+            # compact-decomposed dual-form SDPs), else matrix-free CG
+            kkt_block = None
+            if use_sparse and isinstance(settings.kkt_solver, str) and (
+                settings.kkt_solver in (KKT_DENSE, KKT_BLOCK)
+            ):
+                # the analysis is purely structural, so it survives q/b
+                # updates and warm-started re-solves (invalidated by set())
+                bk_key = (int(settings.kkt_block_max), self._decomp_key,
+                          self.is_decomposed)
+                cached = getattr(self, "_blockkkt_cache", None)
+                if cached is not None and cached[0] == bk_key:
+                    kkt_block = cached[1]
+                else:
+                    from ..ops import blockkkt
 
-                kkt_block = blockkkt.analyze(
-                    sp.csr_matrix(P), sp.csr_matrix(A),
-                    max_block=int(settings.kkt_block_max),
+                    kkt_block = blockkkt.analyze(
+                        sp.csr_matrix(P), sp.csr_matrix(A),
+                        max_block=int(settings.kkt_block_max),
+                    )
+                    self._blockkkt_cache = (bk_key, kkt_block)
+            if use_sparse:
+                Pd = linops.coo_from_scipy(sp.csr_matrix(P), dtype)
+                Ad = linops.coo_from_scipy(sp.csr_matrix(A), dtype)
+            else:
+                Pd = jnp.asarray(_to_dense(P), dtype)
+                Ad = jnp.asarray(_to_dense(A), dtype)
+            if mesh is not None:
+                from .. import parallel
+
+                if kkt_block is not None:
+                    # remap the pair lists against the UNSHARDED Ad layout
+                    # before shard_problem re-chunks the triplets
+                    kkt_block = parallel.shard_blockkkt(mesh, kkt_block, Ad)
+                Pd, Ad, _, _, cones = parallel.shard_problem(
+                    mesh, Pd, Ad, jnp.zeros(n, dtype), jnp.zeros(m, dtype),
+                    cones,
                 )
-                self._blockkkt_cache = (bk_key, kkt_block)
+            else:
+                # pin the cone index maps on device now so re-solves don't
+                # re-transfer them (each host->device array costs a tunnel
+                # RTT at dispatch)
+                cones = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x), cones
+                )
+            self._dev_cache = cache = dict(
+                struct_key=struct_key, cones=cones, kkt_block=kkt_block,
+                Pd=Pd, Ad=Ad, qb_version=None, ws_version=None,
+            )
+        if kkt_block is not None or (
+            use_sparse and isinstance(settings.kkt_solver, str)
+            and settings.kkt_solver in (KKT_DENSE, KKT_BLOCK)
+        ):
             settings = settings.replace(
                 kkt_solver=KKT_BLOCK if kkt_block is not None else KKT_CG
             )
@@ -356,37 +434,40 @@ class Model:
         static, dyn = split_settings(settings, m, n, dtype,
                                      refine_hint=refine_hint)
 
-        if use_sparse:
-            Pd = linops.coo_from_scipy(sp.csr_matrix(P), dtype)
-            Ad = linops.coo_from_scipy(sp.csr_matrix(A), dtype)
+        if cache["qb_version"] == self._qb_version:
+            qd, bd = cache["qd"], cache["bd"]
         else:
-            Pd = jnp.asarray(_to_dense(P), dtype)
-            Ad = jnp.asarray(_to_dense(A), dtype)
-        qd = jnp.asarray(q, dtype)
-        bd = jnp.asarray(b, dtype)
+            qd = jnp.asarray(q, dtype)
+            bd = jnp.asarray(b, dtype)
+            if mesh is not None:
+                from ..parallel.mesh import _put, _row_put
+                from jax.sharding import NamedSharding, PartitionSpec
 
-        if chordal_info is not None:
-            # lift user warm starts into the decomposed space (reference:
-            # interface.jl:117-179 compose with every solve; round 1 zeroed
-            # them for decomposed problems)
-            x0, s0, mu0 = chordal_info.map_warm_start(self.x0, self.s0, self.mu0)
+                qd = _put(qd, NamedSharding(mesh, PartitionSpec()))
+                bd = _row_put(bd, mesh, "blocks")
+            cache.update(qd=qd, bd=bd, qb_version=self._qb_version)
+
+        if cache["ws_version"] == self._ws_version:
+            x0d, s0d, mu0d = cache["x0d"], cache["s0d"], cache["mu0d"]
         else:
-            x0, s0, mu0 = self.x0, self.s0, self.mu0
-        x0d = jnp.asarray(x0, dtype)
-        s0d = jnp.asarray(s0, dtype)
-        mu0d = jnp.asarray(mu0, dtype)
+            if chordal_info is not None:
+                # lift user warm starts into the decomposed space
+                # (reference: interface.jl:117-179 compose with every
+                # solve; round 1 zeroed them for decomposed problems)
+                x0, s0, mu0 = chordal_info.map_warm_start(
+                    self.x0, self.s0, self.mu0
+                )
+            else:
+                x0, s0, mu0 = self.x0, self.s0, self.mu0
+            x0d = jnp.asarray(x0, dtype)
+            s0d = jnp.asarray(s0, dtype)
+            mu0d = jnp.asarray(mu0, dtype)
+            if mesh is not None:
+                from .. import parallel
 
-        if mesh is not None:
-            from .. import parallel
-
-            if kkt_block is not None:
-                # remap the pair lists against the UNSHARDED Ad layout
-                # before shard_problem re-chunks the triplets
-                kkt_block = parallel.shard_blockkkt(mesh, kkt_block, Ad)
-            Pd, Ad, qd, bd, cones = parallel.shard_problem(
-                mesh, Pd, Ad, qd, bd, cones
-            )
-            x0d, s0d, mu0d = parallel.shard_vectors(mesh, x0d, s0d, mu0d)
+                x0d, s0d, mu0d = parallel.shard_vectors(mesh, x0d, s0d, mu0d)
+            cache.update(x0d=x0d, s0d=s0d, mu0d=mu0d,
+                         ws_version=self._ws_version)
         times.setup_time = time.perf_counter() - t_setup
 
         # overlap-block Sherman-Morrison preconditioner for the CG KKT on
@@ -478,7 +559,9 @@ class Model:
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static=static,
                     kkt_precond=kkt_precond, kkt_block=kkt_block,
                 )
-        out = jax.tree_util.tree_map(np.asarray, out)
+        # one-transfer host fetch: leaf-by-leaf np.asarray costs a tunnel
+        # RTT per array (~1.5 s/solve measured on the 17-leaf out dict)
+        out = solver_mod.fetch_out(out)
         times.iter_time = time.perf_counter() - t_iter
 
         t_post = time.perf_counter()
@@ -501,6 +584,17 @@ class Model:
             float(out["r_dual"])
             < nr * settings.eps_abs + nr * settings.eps_rel * float(out["max_norm_dual"])
         )
+        res_history = _order_history(out)
+        if (
+            settings.verbose
+            and not static.verbose              # in-loop rows unavailable
+            and res_history is not None
+            and not getattr(self, "_hist_printed", False)
+        ):
+            from ..utils import printing
+
+            printing.print_history_rows(res_history)
+        self._hist_printed = False
         info = results_mod.ResultInfo(
             r_prim=float(out["r_prim"]),
             r_dual=float(out["r_dual"]),
@@ -509,6 +603,7 @@ class Model:
             rho_updates=out["rho_log"][: min(n_updates, solver_mod.RHO_LOG_LEN)],
             nearly_feasible=bool(nearly),
             kkt_solver_iters=int(out.get("kkt_solver_iters", 0)),
+            res_history=res_history,
         )
         if settings.verbose_timing:
             self._measure_phase_times(
@@ -533,6 +628,22 @@ class Model:
 
             printing.print_result(self, result)
         return result
+
+
+def _order_history(out) -> "np.ndarray | None":
+    """Chronologically ordered rows of the device-side residual-history
+    ring (oldest first); None when the ring is disabled/empty."""
+    if "res_hist" not in out:
+        return None
+    rows = np.asarray(out["res_hist"])
+    H = rows.shape[0]
+    hn = int(out["res_hist_n"])
+    if hn <= 0:
+        return rows[:0]
+    if hn <= H:
+        return rows[:hn]
+    k = hn % H
+    return np.concatenate([rows[k:], rows[:k]])
 
 
 # attached as Model methods below (kept separate for readability)
@@ -705,6 +816,15 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
     else:
         chunk = dispatch_chunk
     limit = int(np.asarray(carry.iter)) + int(np.asarray(carry.sg_iter)) if carry is not None else 0
+    # live residual rows between chunks: the on-TPU verbose path (in-loop
+    # jax.debug.print is unavailable on the axon relay — static.verbose is
+    # auto-disabled there; the device-side history ring substitutes)
+    live_rows = (
+        settings.verbose and not static.verbose and static.res_hist > 0
+    )
+    printed_n = int(np.asarray(carry.hist_n)) if (
+        live_rows and carry is not None
+    ) else 0
     while True:
         limit = min(limit + chunk, int(settings.max_iter))
         out = solver_mod.solve_jit(
@@ -715,6 +835,16 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
         )
         carry = out.pop("carry")
         status = int(out["status"])
+        if live_rows:
+            from ..utils import printing
+
+            hist = _order_history(out)
+            hn = int(out["res_hist_n"])
+            new = min(hn - printed_n, hist.shape[0])
+            if new > 0:
+                printing.print_history_rows(hist[-new:])
+            printed_n = hn
+            self._hist_printed = True
         elapsed = time.perf_counter() - t_start
         if status != results_mod.MAX_ITER_REACHED or limit >= settings.max_iter:
             break

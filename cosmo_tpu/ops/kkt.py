@@ -249,6 +249,14 @@ def minres_solve(P, A, sigma, rho_vec, r1, r2, x0, sched, res_min, max_iter: int
     kktsolver_indirect.jl:123-189). Jittable Lanczos + Givens recurrence
     with a fixed-shape while_loop. Returns (x_tilde, nu, iters).
 
+    Deliberately unpreconditioned: the reduced system is SPD, so
+    preconditioned CG spans the same Krylov space with a cheaper recurrence
+    and carries the overlap/Jacobi preconditioner (:func:`cg_solve`) — the
+    decomposed path auto-selects the block-diagonal direct solver or CG,
+    never MINRES. MINRES exists for reference parity (user-selectable
+    ``kkt_solver="minres"``); preconditioning it would require the
+    Minv-inner-product Lanczos variant for no workload we route here.
+
     ``refine_steps`` > 0: compensated-residual restarts, as in
     :func:`cg_solve`."""
     if refine_steps > 0:

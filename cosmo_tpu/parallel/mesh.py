@@ -82,24 +82,35 @@ def shard_cones(mesh: Mesh, cones, axis: str = BLOCK_AXIS):
     d = mesh.shape[axis]
     DUMP = cones.m
 
+    rep = NamedSharding(mesh, P())
+
     soc = tuple(
         dataclasses.replace(bkt, idx=_put(_pad_batch(bkt.idx, d, DUMP), batch2))
         for bkt in cones.soc_buckets
     )
-    psd = tuple(
-        dataclasses.replace(
+
+    def _shard_psd(bkt):
+        # The selection-matmul fast path survives sharding whenever the
+        # bucket's batch already divides the mesh (the compact transform
+        # pads block counts with dummy blocks when built with
+        # pad_batch=n_devices, so this holds for every decomposed solve).
+        # Batch padding with dump blocks breaks the contiguous-rows
+        # precondition, so uneven buckets fall back to the index maps
+        # (which encode the dump no-ops).
+        keep_fast = bkt.contig_start >= 0 and bkt.gather_idx.shape[0] % d == 0
+        return dataclasses.replace(
             bkt,
             gather_idx=_put(_pad_batch(bkt.gather_idx, d, DUMP), batch3),
             gather_scale=_put(_pad_batch(bkt.gather_scale, d, 0), batch3),
             scatter_idx=_put(_pad_batch(bkt.scatter_idx, d, DUMP), batch3),
             scatter_scale=_put(_pad_batch(bkt.scatter_scale, d, 0), batch3),
-            # batch padding with dump blocks breaks the contiguous-rows
-            # precondition of the selection-matmul fast path — use the
-            # index maps (which encode the dump no-ops) when sharded
-            contig_start=-1, tri_len=0, expand=None, compress=None,
+            contig_start=bkt.contig_start if keep_fast else -1,
+            tri_len=bkt.tri_len if keep_fast else 0,
+            expand=_put(bkt.expand, rep) if keep_fast else None,
+            compress=_put(bkt.compress, rep) if keep_fast else None,
         )
-        for bkt in cones.psd_buckets
-    )
+
+    psd = tuple(_shard_psd(bkt) for bkt in cones.psd_buckets)
     exp = dataclasses.replace(
         cones.exp,
         idx=_put(_pad_batch(cones.exp.idx, d, DUMP), batch2),

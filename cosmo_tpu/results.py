@@ -58,6 +58,11 @@ class ResultInfo:
     nearly_feasible: bool = False
     # total inner CG/MINRES iterations across the solve (0 for dense KKT)
     kkt_solver_iters: int = 0
+    # device-side residual history: chronological [k, 5] rows of
+    # (iter, cost, r_prim, r_dual, rho) captured at the termination checks
+    # (Settings.residual_history ring; the reference analog is
+    # IterateHistory, types.jl:283-312). None when disabled.
+    res_history: np.ndarray = None
 
 
 @dataclasses.dataclass

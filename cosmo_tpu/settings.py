@@ -199,6 +199,15 @@ class Settings:
     # above the switch threshold, so the latch would never trip.)
     mixed_precision: bool = False
     mixed_precision_switch: float = 1e-3
+    # Device-side residual-history ring buffer: the last N termination
+    # checks' (iter, cost, r_prim, r_dual, rho) rows live in the loop carry
+    # and come back with the result (ResultInfo.res_history). This is the
+    # on-TPU observability path: the axon relay aborts on host callbacks,
+    # so the in-loop jax.debug.print rows cannot run there — with the ring
+    # buffer a verbose solve prints its residual rows host-side after each
+    # dispatch chunk instead (reference rows: printing.jl:38-48; history:
+    # types.jl:283-312 IterateHistory). 0 disables.
+    residual_history: int = 64
     # Largest number of iterations per device call. The solve re-enters the
     # same compiled program through the full loop carry between chunks
     # (identical trajectory, no recompile), so chunking costs one dispatch
@@ -252,6 +261,7 @@ class StaticConfig(NamedTuple):
     check_obj_true: bool
     verbose: bool
     mixed_precision: bool
+    res_hist: int                  # residual-history ring rows (0 = off)
     m: int
     n: int
 
@@ -350,6 +360,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype,
         check_obj_true=not np.isnan(settings.obj_true),
         verbose=bool(settings.verbose) and _backend_supports_callbacks(),
         mixed_precision=bool(settings.mixed_precision),
+        res_hist=int(settings.residual_history),
         m=int(m),
         n=int(n),
     )

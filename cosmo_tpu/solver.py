@@ -88,6 +88,8 @@ class LoopCarry(NamedTuple):
     kkt_iters: Any         # int32: accumulated inner CG/MINRES iterations
     n_rho_adapt: Any
     rho_log: Any           # [RHO_LOG_LEN]
+    hist: Any              # [res_hist, 5] residual-history ring or ()
+    hist_n: Any            # int32: rows ever written to the ring
     aa: Any                # AccelState or ()
     eig: Any               # per-PSD-bucket eigenbasis carry (amortized) or ()
 
@@ -297,6 +299,9 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             kkt_iters=kkt_it0,
             n_rho_adapt=jnp.zeros((), jnp.int32),
             rho_log=rho_log,
+            hist=(jnp.zeros((static.res_hist, 5), dtype)
+                  if static.res_hist > 0 else ()),
+            hist_n=jnp.zeros((), jnp.int32),
             aa=aa0,
             eig=eig0,
         )
@@ -375,6 +380,17 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         )
 
         c = c._replace(cost=cost, res=info, status=status)
+        if static.res_hist > 0:
+            # device-side residual history (the on-TPU observability path —
+            # host callbacks abort on the axon relay, so verbose rows print
+            # host-side from this ring after each dispatch chunk;
+            # reference rows: printing.jl:38-48)
+            slot = jnp.mod(c.hist_n, static.res_hist)
+            row = jnp.stack([
+                c.iter.astype(cost.dtype), cost, info.r_prim, info.r_dual,
+                c.rho,
+            ])
+            c = c._replace(hist=c.hist.at[slot].set(row), hist_n=c.hist_n + 1)
         if static.mixed_precision:
             # one-way latch: once relative residuals cross the switch
             # threshold, the endgame runs at full matmul precision (no
@@ -863,6 +879,9 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         rho_log=c.rho_log,
         n_accelerated=(c.aa.n_accelerated if static.accel_mem > 0 else jnp.zeros((), jnp.int32)),
     )
+    if static.res_hist > 0:
+        out["res_hist"] = c.hist
+        out["res_hist_n"] = c.hist_n
     if return_carry:
         out["carry"] = c
     return out
@@ -870,3 +889,103 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
 # jitted entry: cones is a pytree arg; static config is hashable
 solve_jit = jax.jit(solve, static_argnames=("static", "return_carry"))
+
+
+# scalar outputs packed into one device vector for the host fetch (each
+# separate device->host transfer pays a full ~50-90 ms RTT through the axon
+# tunnel; fetching the raw 17-leaf out dict measured ~1.5 s per solve)
+_PACK_SCALARS = (
+    "cost", "status", "iter", "safeguarding_iter", "r_prim", "r_dual",
+    "max_norm_prim", "max_norm_dual", "n_rho_adapt", "kkt_solver_iters",
+    "n_accelerated",
+)
+_PACK_INTS = frozenset((
+    "status", "iter", "safeguarding_iter", "n_rho_adapt",
+    "kkt_solver_iters", "n_accelerated", "res_hist_n",
+))
+
+
+@jax.jit
+def _pack_for_host(out):
+    dt = out["x"].dtype
+    parts = [out["x"], out["y"], out["s"], out["rho_log"].astype(dt),
+             jnp.stack([jnp.asarray(out[k]).astype(dt)
+                        for k in _PACK_SCALARS])]
+    if "res_hist" in out:
+        parts.append(out["res_hist"].reshape(-1))
+        parts.append(out["res_hist_n"].astype(dt)[None])
+    return jnp.concatenate(parts)
+
+
+def fetch_out(out) -> dict:
+    """Move a solve's output dict to host NumPy with ONE device transfer.
+
+    All int-valued entries round-trip exactly through the float packing
+    (iteration and status counts stay far below 2^24). The packing dispatch
+    plus the single fetch cost two tunnel RTTs instead of one per leaf.
+    """
+    import numpy as np
+
+    n = out["x"].shape[0]
+    m = out["y"].shape[0]
+    flat = np.asarray(_pack_for_host(out))
+    res = {}
+    o = 0
+    for key, ln in (("x", n), ("y", m), ("s", m),
+                    ("rho_log", out["rho_log"].shape[0])):
+        res[key] = flat[o:o + ln]
+        o += ln
+    for key in _PACK_SCALARS:
+        res[key] = flat[o]
+        o += 1
+    if "res_hist" in out:
+        H = out["res_hist"].shape[0]
+        res["res_hist"] = flat[o:o + 5 * H].reshape(H, 5)
+        o += 5 * H
+        res["res_hist_n"] = flat[o]
+        o += 1
+    for key in _PACK_INTS:
+        if key in res:
+            res[key] = np.int64(np.rint(res[key]))
+    return res
+
+
+def solve_chunked(P, A, q, b, cones, x0, s0, mu0, dyn, static,
+                  chunk: int = 0, kkt_precond=None, kkt_block=None):
+    """Chunked direct-solver entry: identical trajectory to one
+    :func:`solve_jit` call, but no single device dispatch runs more than
+    ``chunk`` iterations — the loop re-enters the SAME compiled program
+    through the full resumable carry between dispatches (one host RTT per
+    chunk, no recompile since ``max_iter`` is a device scalar).
+
+    This is the safety the Model layer already has
+    (``Settings.dispatch_chunk``), exposed at the lowest public layer:
+    the axon TPU relay's worker reliably dies on multi-thousand-iteration
+    single dispatches of ANY program, and direct ``solve_jit`` callers with
+    large ``max_iter`` were exposed. ``chunk=0`` resolves automatically
+    (2000 on the axon relay, unchunked elsewhere); ``chunk=-1`` never
+    chunks.
+    """
+    import numpy as np
+
+    if chunk == 0:
+        from .settings import _is_axon_backend
+
+        chunk = 2000 if _is_axon_backend() else -1
+    max_iter = int(np.asarray(dyn.max_iter))
+    if chunk <= 0 or max_iter <= chunk:
+        return solve_jit(P, A, q, b, cones, x0, s0, mu0, dyn, static=static,
+                         kkt_precond=kkt_precond, kkt_block=kkt_block)
+    carry = None
+    limit = 0
+    while True:
+        limit = min(limit + chunk, max_iter)
+        out = dict(solve_jit(
+            P, A, q, b, cones, x0, s0, mu0,
+            dyn._replace(max_iter=np.asarray(limit, np.int32)),
+            static=static, carry_in=carry, return_carry=True,
+            kkt_precond=kkt_precond, kkt_block=kkt_block,
+        ))
+        carry = out.pop("carry")
+        if int(out["status"]) != results.MAX_ITER_REACHED or limit >= max_iter:
+            return out

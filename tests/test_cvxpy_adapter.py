@@ -88,6 +88,74 @@ def test_cone_dict_from_dims():
     assert cone == {"f": 2, "l": 3, "q": [3, 4], "s": [15], "ep": 2, "p": [0.3]}
 
 
+def test_solver_class_surface_with_mocked_cvxpy():
+    """Drive the ConicSolver subclass itself — name/import_solver/
+    solve_via_data incl. solver_opts plumbing and the warm-start
+    solver_cache protocol — against a mocked ``scs_conif`` module, so the
+    adapter's cvxpy-facing surface executes even without cvxpy in the image
+    (the real round trip below still runs whenever cvxpy exists).
+    ``solve_via_data`` never calls into the base class, so a bare stub is a
+    faithful harness for everything on our side of the boundary."""
+    import sys
+
+    from cosmo_tpu import cvxpy_solver as cs
+
+    created = []
+    mods = {}
+    for name in ("cvxpy", "cvxpy.reductions", "cvxpy.reductions.solvers",
+                 "cvxpy.reductions.solvers.conic_solvers",
+                 "cvxpy.reductions.solvers.conic_solvers.scs_conif"):
+        if name not in sys.modules:
+            mods[name] = types.ModuleType(name)
+            created.append(name)
+    if created:  # only mock when cvxpy is genuinely absent
+        class _StubSCS:  # the base class surface solve_via_data relies on
+            pass
+
+        mods["cvxpy.reductions.solvers.conic_solvers.scs_conif"].SCS = _StubSCS
+        sys.modules.update(mods)
+    old_cls = cs._CosmoTpuSolverFactory._cls
+    cs._CosmoTpuSolverFactory._cls = None
+    try:
+        solver = cs.CosmoTpuSolver()
+        assert solver.name() == "COSMO_TPU"
+        solver.import_solver()
+
+        c = np.array([1.0, 2.0])
+        A = -sp.identity(2, format="csc")
+        b = -np.ones(2)
+        data = dict(A=A, b=b, c=c, dims=_dims(nonneg=2))
+        cache = {}
+        sol = solver.solve_via_data(
+            data, warm_start=False, verbose=False,
+            solver_opts={"eps_abs": 1e-8, "eps_rel": 1e-8, "max_iter": 2000},
+            solver_cache=cache,
+        )
+        assert sol["info"]["status_val"] == 1
+        np.testing.assert_allclose(sol["x"], [1.0, 1.0], atol=1e-5)
+        assert "COSMO_TPU" in cache  # warm-start protocol populated
+        # second solve consumes the cached warm start
+        sol2 = solver.solve_via_data(
+            data, warm_start=True, verbose=False,
+            solver_opts={"eps_abs": 1e-8, "eps_rel": 1e-8},
+            solver_cache=cache,
+        )
+        assert sol2["info"]["status_val"] == 1
+        assert sol2["info"]["iter"] <= sol["info"]["iter"]
+        # unknown keys are ignored, cosmo_settings object wins
+        sol3 = solver.solve_via_data(
+            data, warm_start=False, verbose=True,
+            solver_opts={"cosmo_settings":
+                         Settings(eps_abs=1e-6, eps_rel=1e-6, verbose=False)},
+            solver_cache=None,
+        )
+        assert sol3["info"]["status_val"] == 1
+    finally:
+        cs._CosmoTpuSolverFactory._cls = old_cls
+        for name in created:
+            sys.modules.pop(name, None)
+
+
 def test_cvxpy_roundtrip():
     cp = pytest.importorskip("cvxpy")
     from cosmo_tpu.cvxpy_solver import CosmoTpuSolver
