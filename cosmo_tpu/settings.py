@@ -151,6 +151,15 @@ class Settings:
     # and triangular solves per iteration). Applies to the dense Cholesky
     # solve and as compensated-residual restarts to CG/MINRES.
     kkt_refine_steps: int = -1
+    # Endgame gate for the refinement: while BOTH relative ADMM residuals
+    # sit above this threshold, KKT solves run plain f32 (inexact-ADMM
+    # tolerates solve error below the iterate error) and the compensated
+    # refinement latches on one-way once a termination check sees residuals
+    # below it. The refinement is numerically needed only near convergence
+    # but costs ~40-80% of a block-KKT iteration (measured: 1.6 of 4.7 ms
+    # at banded-2000). 0 disables the gate (refine from iteration 1).
+    # Mirrors the mixed_precision_switch latch design.
+    kkt_refine_switch: float = 1e-3
     # Structure-aware CG preconditioner for the compact decomposition's
     # overlap block (exact Sherman-Morrison inverse of sigma I + O' rho O,
     # ops/kkt.py OverlapPrecond); Jacobi elsewhere.
@@ -251,6 +260,7 @@ class StaticConfig(NamedTuple):
     kkt_solver: str
     kkt_cg_max_iter: int
     kkt_refine_steps: int
+    kkt_refine_gated: bool
     accel_mem: int                 # 0 disables acceleration
     accel_activation: str
     accel_memory: str
@@ -298,6 +308,7 @@ class DynConfig(NamedTuple):
     kkt_cg_tol_constant: Any
     kkt_cg_tol_exponent: Any
     mixed_precision_switch: Any
+    kkt_refine_switch: Any
 
 
 def _is_axon_backend() -> bool:
@@ -346,6 +357,7 @@ def split_settings(settings: Settings, m: int, n: int, dtype,
             int(settings.kkt_refine_steps) if settings.kkt_refine_steps >= 0
             else (1 if np.dtype(dtype) == np.float32 and refine_hint else 0)
         ),
+        kkt_refine_gated=bool(settings.kkt_refine_switch > 0),
         accel_mem=int(accel_mem),
         accel_activation=settings.accelerator_activation,
         accel_memory=settings.accelerator_memory,
@@ -392,5 +404,6 @@ def split_settings(settings: Settings, m: int, n: int, dtype,
         kkt_cg_tol_constant=f(settings.kkt_cg_tol_constant),
         kkt_cg_tol_exponent=f(settings.kkt_cg_tol_exponent),
         mixed_precision_switch=f(settings.mixed_precision_switch),
+        kkt_refine_switch=f(settings.kkt_refine_switch),
     )
     return static, dyn

@@ -84,6 +84,9 @@ class LoopCarry(NamedTuple):
     chk_best: Any          # best residual score seen at a certificate check
     stag_chks: Any         # int32: consecutive stagnant certificate checks
     loose: Any             # bool: mixed-precision loose phase still active
+    refine_on: Any         # bool: df32 KKT refinement latched on (endgame)
+    ref_stall: Any         # int32: stagnant checks while refinement is off
+    ref_best: Any          # best residual score seen while refinement is off
     redo: Any              # bool: this pass redoes a safeguard-rejected step
     kkt_iters: Any         # int32: accumulated inner CG/MINRES iterations
     n_rho_adapt: Any
@@ -155,6 +158,13 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     # the KKT refinement is active: in f32 the plain measurement noise feeds
     # the rho adaptation and can drive a limit cycle near convergence
     compensated_res = static.kkt_refine_steps > 0
+    # endgame gate: KKT solves run plain f32 while relative residuals sit
+    # above kkt_refine_switch (inexact-ADMM tolerates solve error below the
+    # iterate error), and the refinement latches on one-way at the first
+    # termination check under the switch — or after 4 stagnant checks, in
+    # case the plain-f32 forward-error floor for this problem lies ABOVE
+    # the switch and the latch would otherwise never trip
+    refine_gated = static.kkt_refine_gated and static.kkt_refine_steps > 0
 
     custom_kkt = not isinstance(static.kkt_solver, str)
     use_dense = (not custom_kkt) and static.kkt_solver == KKT_DENSE
@@ -186,25 +196,25 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     # ------------------------------------------------------------------
     # ADMM operator pieces (reference: solver.jl:7-65)
     # ------------------------------------------------------------------
-    def kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min):
-        if custom_kkt:
-            xt, nu = static.kkt_solver.solve(
-                kkt_state, P, A, dyn.sigma, rho_vec, r1, r2
-            )
-            k = jnp.zeros((), jnp.int32)
-        elif use_dense:
-            xt, nu = kkt_ops.dense_solve(
-                kkt_state, P, A, dyn.sigma, rho_vec, r1, r2,
-                static.kkt_refine_steps,
-            )
-            k = jnp.zeros((), jnp.int32)
-        elif use_block:
-            xt, nu = blockkkt.solve(
-                kkt_block, kkt_state, P, A, dyn.sigma, rho_vec, r1, r2,
-                static.kkt_refine_steps,
-            )
-            k = jnp.zeros((), jnp.int32)
-        else:
+    def kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min,
+                  refine_on):
+        def _refine_steps_solve(steps: int):
+            if custom_kkt:
+                xt, nu = static.kkt_solver.solve(
+                    kkt_state, P, A, dyn.sigma, rho_vec, r1, r2
+                )
+                return xt, nu, jnp.zeros((), jnp.int32)
+            if use_dense:
+                xt, nu = kkt_ops.dense_solve(
+                    kkt_state, P, A, dyn.sigma, rho_vec, r1, r2, steps,
+                )
+                return xt, nu, jnp.zeros((), jnp.int32)
+            if use_block:
+                xt, nu = blockkkt.solve(
+                    kkt_block, kkt_state, P, A, dyn.sigma, rho_vec, r1, r2,
+                    steps,
+                )
+                return xt, nu, jnp.zeros((), jnp.int32)
             sched = kkt_ops.cg_tolerance(admm_iter, dyn)
             solve_fn = (
                 kkt_ops.minres_solve
@@ -217,16 +227,27 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 else {}
             )
             xt, nu, k = solve_fn(
-                P, A, dyn.sigma, rho_vec, r1, r2, sol_prev[:n], sched, res_min,
-                static.kkt_cg_max_iter, static.kkt_refine_steps, **extra,
+                P, A, dyn.sigma, rho_vec, r1, r2, sol_prev[:n], sched,
+                res_min, static.kkt_cg_max_iter, steps, **extra,
             )
-        return xt, nu, jnp.asarray(k, jnp.int32)
+            return xt, nu, jnp.asarray(k, jnp.int32)
 
-    def admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter, res_min):
+        if refine_gated and not custom_kkt:
+            return lax.cond(
+                refine_on,
+                lambda _: _refine_steps_solve(static.kkt_refine_steps),
+                lambda _: _refine_steps_solve(0),
+                operand=None,
+            )
+        return _refine_steps_solve(static.kkt_refine_steps)
+
+    def admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter, res_min,
+                 refine_on):
         """admm_x! then admm_w! (solver.jl:32-65). Returns (w_new, sol)."""
         r1 = dyn.sigma * w[:n] - q
         r2 = b - 2.0 * s + w[n:]
-        xt, nu, k = kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter, res_min)
+        xt, nu, k = kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter,
+                              res_min, refine_on)
         s_tl = 2.0 * s - w[n:] - nu / rho_vec
         w1 = w[:n] + dyn.alpha * (xt - w[:n])
         w2 = w[n:] + dyn.alpha * (s_tl - s)
@@ -253,10 +274,11 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     else:
         w0 = jnp.concatenate([x, s0v + mu / rho_vec])
         sol0 = jnp.zeros(n + m, dtype)
+        refine_on0 = jnp.asarray(not refine_gated)
         # initialisation half-step so iterates agree with standard ADMM
         w0, sol0, kkt_it0 = admm_x_w(
             w0, s0v, kkt_state, rho_vec, sol0, jnp.asarray(1, jnp.int32),
-            jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(jnp.inf, dtype), refine_on0,
         )
 
         big = jnp.asarray(jnp.inf, dtype)
@@ -295,6 +317,9 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             chk_best=jnp.asarray(jnp.inf, dtype),
             stag_chks=jnp.zeros((), jnp.int32),
             loose=jnp.asarray(bool(static.mixed_precision)),
+            refine_on=refine_on0,
+            ref_stall=jnp.zeros((), jnp.int32),
+            ref_best=jnp.asarray(jnp.inf, dtype),
             redo=jnp.asarray(False),
             kkt_iters=kkt_it0,
             n_rho_adapt=jnp.zeros((), jnp.int32),
@@ -380,6 +405,34 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         )
 
         c = c._replace(cost=cost, res=info, status=status)
+        rel = jnp.maximum(
+            info.r_prim / (info.max_norm_prim + 1e-10),
+            info.r_dual / (info.max_norm_dual + 1e-10),
+        )
+        if refine_gated:
+            # one-way latch into the refined endgame; the stagnation
+            # fallback (4 checks without a 5% residual-score improvement)
+            # covers problems whose plain-f32 floor sits above the switch
+            score = rel
+            stall = jnp.where(
+                score < 0.95 * c.ref_best, 0, c.ref_stall + 1
+            )
+            trip = ((rel < dyn.kkt_refine_switch) | (stall >= 4)) & ~c.refine_on
+            c = c._replace(
+                refine_on=c.refine_on | trip,
+                ref_stall=jnp.where(c.refine_on, 0, stall),
+                ref_best=jnp.minimum(c.ref_best, score),
+            )
+            if static.accel_mem > 0:
+                # the accelerator's secant history spans the UNREFINED
+                # operator (its fixed point differs by the plain-f32 KKT
+                # forward error); carrying it across the latch poisons the
+                # endgame basin — restart it at the switch
+                c = lax.cond(
+                    trip,
+                    lambda c: c._replace(aa=accel.restart(c.aa)),
+                    lambda c: c, c,
+                )
         if static.res_hist > 0:
             # device-side residual history (the on-TPU observability path —
             # host callbacks abort on the axon relay, so verbose rows print
@@ -395,10 +448,6 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             # one-way latch: once relative residuals cross the switch
             # threshold, the endgame runs at full matmul precision (no
             # flip-flopping near the boundary)
-            rel = jnp.maximum(
-                info.r_prim / (info.max_norm_prim + 1e-10),
-                info.r_dual / (info.max_norm_dual + 1e-10),
-            )
             c = c._replace(loose=c.loose & (rel > dyn.mixed_precision_switch))
         if static.verbose:
             jax.debug.print(
@@ -710,7 +759,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 dx = jnp.where(is_base, c.w_sh[:n], c.dx)
                 res_min_sh = jnp.minimum(c.res.r_prim, c.res.r_dual)
                 w_sh, _, k_sh = admm_x_w(
-                    c.w_sh, s_sh, c.kkt, c.rho_vec, c.sol, it, res_min_sh
+                    c.w_sh, s_sh, c.kkt, c.rho_vec, c.sol, it, res_min_sh,
+                    c.refine_on,
                 )
                 return c._replace(
                     w_sh=w_sh, mu_sh=mu_sh, dy=dy, dx=dx,
@@ -768,7 +818,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             )
 
         res_min = jnp.minimum(c.res.r_prim, c.res.r_dual)
-        w_new, sol, k_in = admm_x_w(c.w, c.s, c.kkt, c.rho_vec, c.sol, it, res_min)
+        w_new, sol, k_in = admm_x_w(c.w, c.s, c.kkt, c.rho_vec, c.sol, it,
+                                    res_min, c.refine_on)
         c = c._replace(w=w_new, sol=sol, kkt_iters=c.kkt_iters + k_in)
 
         # --- acceleration_post: safeguarding (accelerator_interface.jl:85-114)
