@@ -64,6 +64,7 @@ from .models.cones import (  # noqa: E402
     SecondOrderCone,
     ZeroSet,
 )
+from .chordal.merging import CliqueGraphMerge, MergeStrategy  # noqa: E402
 from .interface import solve  # noqa: E402
 from .models.constraint import Constraint  # noqa: E402
 from .models.model import Model, assemble, optimize  # noqa: E402
@@ -88,6 +89,8 @@ __all__ = [
     "enable_x64",
     "CustomCone",
     "CustomKKTSolver",
+    "MergeStrategy",
+    "CliqueGraphMerge",
     "ZeroSet",
     "Nonnegatives",
     "Box",

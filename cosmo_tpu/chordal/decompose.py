@@ -95,17 +95,24 @@ def _adjacency_from_svec(nz: np.ndarray, side: int, square: bool = False):
 
 
 def analyse_cone(
-    A, b_rows: np.ndarray, side: int, merge_strategy: str,
+    A, b_rows: np.ndarray, side: int, merge_strategy,
     square: bool = False, row0: int = 0,
 ):
     """Sparsity analysis + clique tree + merging for one PSD cone.
-    Returns (tree, ordering) or None if the cone is effectively dense."""
+    Returns (tree, ordering) or None if the cone is effectively dense.
+    ``merge_strategy``: built-in string or a user
+    :class:`~cosmo_tpu.chordal.merging.MergeStrategy` / callable."""
     nz = _aggregate_sparsity(A, b_rows, side, square=square, row0=row0)
     if nz.size >= (side * side if square else tri_dim(side)):
         return None
     adj = _adjacency_from_svec(nz, side, square=square)
     cols, perm = graph_mod.chordal_extension(adj)
-    t = trees.build_clique_tree(cols, graph_mode=merge_strategy.startswith("clique_graph"))
+    graph_mode = (
+        merge_strategy.startswith("clique_graph")
+        if isinstance(merge_strategy, str)
+        else bool(getattr(merge_strategy, "graph_based", True))
+    )
+    t = trees.build_clique_tree(cols, graph_mode=graph_mode)
     merging.merge_cliques(t, merge_strategy)
     if t.num <= 1:
         return None

@@ -329,8 +329,64 @@ def _clique_tree_from_graph(t: CliqueTree, w: Dict[Tuple[int, int], float]) -> N
     t.graph_mode = False
 
 
-def merge_cliques(t: CliqueTree, strategy: str, t_fill: int = 8, t_size: int = 8) -> None:
-    """Dispatch on the merge strategy (reference: clique_merging.jl:131-165)."""
+class MergeStrategy:
+    """Base class for user-defined merge strategies (the extension hook of
+    the reference's strategy pattern, AbstractMergeStrategy +
+    initialise!/traverse/evaluate/update_strategy!,
+    clique_merging.jl:108-129).
+
+    Set ``graph_based`` to choose the handover form: True (default) gets
+    the supernodal tree in reduced-clique-graph mode (``tree.graph_mode``)
+    and must leave a valid clique tree behind — the helper
+    :func:`finish_graph_merge` rebuilds one from the merged graph; False
+    gets a plain clique tree (like ``ParentChildMerge``). Implement
+    ``__call__(tree)`` mutating the :class:`~cosmo_tpu.chordal.trees
+    .CliqueTree` in place (record decisions in ``tree.merge_log``).
+    Pass an instance as ``Settings(merge_strategy=...)``.
+    """
+
+    graph_based: bool = True
+
+    def __call__(self, tree: CliqueTree) -> None:
+        raise NotImplementedError
+
+
+class CliqueGraphMerge(MergeStrategy):
+    """The default clique-graph strategy with a pluggable edge weight
+    (reference: AbstractEdgeWeight / ComplexityWeight,
+    clique_merging.jl:388-403). ``edge_weight(c1: set, c2: set) -> float``;
+    edges merge greedily while the best permissible weight is >= 0."""
+
+    def __init__(self, edge_weight=None):
+        self.edge_weight = edge_weight
+
+    def __call__(self, tree: CliqueTree) -> None:
+        merge_clique_graph(tree, weight_fn=self.edge_weight)
+
+
+def finish_graph_merge(t: CliqueTree, weights=None) -> None:
+    """Rebuild a valid clique tree from a merged reduced clique graph
+    (max-intersection Kruskal spanning tree + snd/sep split) — for
+    graph-based user strategies (reference: clique_merging.jl:478-609)."""
+    if weights is None:
+        weights = {e: 0.0 for e in _reduced_clique_graph(t.sep, t.snd)}
+    _clique_tree_from_graph(t, weights)
+
+
+def merge_cliques(t: CliqueTree, strategy, t_fill: int = 8, t_size: int = 8) -> None:
+    """Dispatch on the merge strategy (reference: clique_merging.jl:131-165).
+    ``strategy``: one of the built-in strings, or a :class:`MergeStrategy`
+    instance / any callable mutating the tree in place."""
+    if not isinstance(strategy, str):
+        if t.num <= 1:
+            if t.graph_mode:
+                finish_graph_merge(t)
+            return
+        strategy(t)
+        if t.graph_mode:
+            # tolerate strategies that merged but did not rebuild the tree
+            finish_graph_merge(t)
+        return
     if strategy == "none" or t.num <= 1:
         if t.graph_mode:
             # even without merging, graph mode must produce a tree again

@@ -462,54 +462,60 @@ def reverse_transform(
     y = np.asarray(y)
     s = np.asarray(s)
     x_o = x[: info.n_orig]
-    mu = -y
     # one extra dump slot absorbs pad rows (row_map == m_orig for the
-    # block-padding rows the compact transform may add)
+    # block-padding rows the compact transform may add). Work directly in
+    # y-space (mu = -y): every elementwise pass over an m_orig-sized array
+    # is expensive on this container (first-touch page faults throttle
+    # fresh allocations to tens of MB/s), so the mu negation passes the
+    # old code made are folded into the scatters/completion.
     s_o = np.zeros(info.m_orig + 1, dtype=s.dtype)
-    mu_o = np.zeros(info.m_orig + 1, dtype=y.dtype)
+    y_o = np.zeros(info.m_orig + 1, dtype=y.dtype)
 
     if info.mode == "standard":
         # s = H s_blocks; mu = H mu_blocks averaged over overlap counts
         # (reference: fill_dual_variables!, chordal_decomposition.jl:153-168)
         s_o[:-1] = info.H @ s[info.m_orig :]
         counts = np.asarray(info.H.sum(axis=1)).ravel()
-        mu_o[:-1] = info.H @ mu[info.m_orig :] / np.maximum(counts, 1.0)
+        y_o[:-1] = info.H @ y[info.m_orig :] / np.maximum(counts, 1.0)
     else:
         np.add.at(s_o, info.row_map, s)
         # overwrite semantics, "last write wins" (reference add_blocks! order)
         rev = info.row_map[::-1]
         _, first_of_rev = np.unique(rev, return_index=True)
         last_idx = len(info.row_map) - 1 - first_of_rev
-        mu_o[info.row_map[last_idx]] = mu[last_idx]
+        y_o[info.row_map[last_idx]] = y[last_idx]
     s_o = s_o[:-1]
-    mu_o = mu_o[:-1]
+    y_o = y_o[:-1]
 
     if complete_dual:
         for pat in info.patterns:
             square = isinstance(info.sets_orig[pat.cone_index], C.PsdCone)
-            _psd_complete_pattern(mu_o, pat, square=square)
+            # the completion reads/writes Y = -mu = y blockwise (it copies
+            # the block out, never the full vector)
+            _psd_complete_pattern_y(y_o, pat, square=square)
 
-    return x_o, -mu_o, s_o
+    return x_o, y_o, s_o
 
 
-def _psd_complete_pattern(mu: np.ndarray, pat: SparsityPattern, square: bool = False) -> None:
-    """PSD completion of the dual block Y = -mu for one decomposed cone via
-    clique-tree back-substitution (Vandenberghe, Chordal Graphs and
+def _psd_complete_pattern_y(y: np.ndarray, pat: SparsityPattern, square: bool = False) -> None:
+    """PSD completion of the dual block Y = y = -mu for one decomposed cone
+    via clique-tree back-substitution (Vandenberghe, Chordal Graphs and
     Semidefinite Optimization, p.362; reference:
-    chordal_decomposition.jl:263-311)."""
+    chordal_decomposition.jl:263-311). Operates on the y-space vector in
+    place (only the cone's own block is copied out)."""
     N = pat.side
     d = N * N if square else tri_dim(N)
     rows = slice(pat.row_start, pat.row_start + d)
 
-    # y = -mu, unpack storage -> dense symmetric
-    v = -mu[rows]
+    # unpack storage -> dense symmetric
+    v = y[rows]
     if square:
         Y = v.reshape(N, N).copy()
         Y = 0.5 * (Y + Y.T)
     else:
         i_idx, j_idx = _tri_rows_cols(N)
         scale = np.where(i_idx == j_idx, 1.0, 1.0 / np.sqrt(2.0))
-        Y = np.zeros((N, N), dtype=mu.dtype)
+        Y = np.zeros((N, N), dtype=y.dtype)
         Y[i_idx, j_idx] = v * scale
         Y[j_idx, i_idx] = v * scale
 
@@ -539,10 +545,10 @@ def _psd_complete_pattern(mu: np.ndarray, pat: SparsityPattern, square: bool = F
 
     Y_full = W[np.ix_(ip, ip)]
     if square:
-        mu[rows] = -Y_full.T.reshape(-1)  # column-stacked: vec index = j*N + i
+        y[rows] = Y_full.T.reshape(-1)  # column-stacked: vec index = j*N + i
     else:
         out_scale = np.where(i_idx == j_idx, 1.0, np.sqrt(2.0))
-        mu[rows] = -(Y_full[i_idx, j_idx] * out_scale)
+        y[rows] = Y_full[i_idx, j_idx] * out_scale
 
 
 def _tri_rows_cols(r: int):

@@ -470,6 +470,35 @@ class Model:
                          ws_version=self._ws_version)
         times.setup_time = time.perf_counter() - t_setup
 
+        # Per-clique-block rho scale (Settings.rho_overlap_scale) —
+        # separator conditioning is the decomposed dual's bottleneck, so
+        # blocks with a larger overlap-row fraction get
+        # scale = rho_overlap_scale ** frac_overlap. The scale MUST be a
+        # scalar per PSD block: mu = rho (w - Pi(w)) lies in the normal
+        # cone only for cone-scalar rho (measured: a per-ROW overlap
+        # weighting converges to a complementarity-violating pseudo-
+        # solution, <s, mu> = 18 with residuals 1e-9).
+        rho_row_scale = None
+        if (
+            settings.rho_overlap_scale != 1.0
+            and chordal_info is not None
+            and chordal_info.mode == "compact"
+            and chordal_info.num_overlaps > 0
+        ):
+            ov = np.zeros(m, bool)
+            ov[np.asarray(chordal_info.ov_child_rows)] = True
+            ov[np.asarray(chordal_info.ov_parent_rows)] = True
+            scale = np.ones(m, dtype)
+            off = 0
+            for s_ in sets:
+                d_ = s_.dim
+                if isinstance(s_, (C.PsdCone, C.PsdConeTriangle)):
+                    frac = float(ov[off:off + d_].mean())
+                    if frac > 0.0:
+                        scale[off:off + d_] = settings.rho_overlap_scale ** frac
+                off += d_
+            rho_row_scale = jnp.asarray(scale)
+
         # overlap-block Sherman-Morrison preconditioner for the CG KKT on
         # compact-decomposed problems (ops/kkt.py OverlapPrecond)
         kkt_precond = None
@@ -506,6 +535,7 @@ class Model:
         )
         with profile_ctx, jax.default_matmul_precision(settings.matmul_precision):
             carry0 = None
+            setup0 = None
             out = None
             if (
                 settings.adaptive_rho
@@ -520,9 +550,9 @@ class Model:
                 # comes from a timed probe chunk re-entered via the loop
                 # carry; the interval is a device scalar, so resolving it
                 # never recompiles.
-                dyn, carry0, out = self._resolve_auto_rho_interval(
+                dyn, carry0, setup0, out = self._resolve_auto_rho_interval(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
-                    settings, times, kkt_precond, kkt_block,
+                    settings, times, kkt_precond, kkt_block, rho_row_scale,
                 )
             dispatch_chunk = settings.dispatch_chunk
             if dispatch_chunk == 0:
@@ -544,20 +574,24 @@ class Model:
                 out = self._solve_chunked(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
                     settings, t_solver, dtype, carry0, kkt_precond, kkt_block,
-                    dispatch_chunk=dispatch_chunk,
+                    dispatch_chunk=dispatch_chunk, rho_row_scale=rho_row_scale,
+                    setup0=setup0,
                 )
             elif carry0 is not None:
                 out = solver_mod.solve_jit(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn,
                     static=static, carry_in=carry0, return_carry=True,
                     kkt_precond=kkt_precond, kkt_block=kkt_block,
+                    rho_row_scale=rho_row_scale, setup_in=setup0,
                 )
                 out = dict(out)
                 out.pop("carry")
+                out.pop("setup")
             else:
                 out = solver_mod.solve_jit(
                     Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static=static,
                     kkt_precond=kkt_precond, kkt_block=kkt_block,
+                    rho_row_scale=rho_row_scale,
                 )
         # one-transfer host fetch: leaf-by-leaf np.asarray costs a tunnel
         # RTT per array (~1.5 s/solve measured on the 17-leaf out dict)
@@ -752,7 +786,7 @@ Model._measure_phase_times = _measure_phase_times
 
 def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
                                dyn, static, settings, times, kkt_precond=None,
-                               kkt_block=None):
+                               kkt_block=None, rho_row_scale=None):
     """Run two short probe chunks; time the second (the first absorbs any
     compile); set the interval so ~adaptive_rho_fraction of the setup time
     passes between adaptations, rounded to a multiple of check_termination.
@@ -763,21 +797,24 @@ def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         dyn._replace(max_iter=np.asarray(probe, np.int32)),
         static=static, return_carry=True, kkt_precond=kkt_precond,
-        kkt_block=kkt_block,
+        kkt_block=kkt_block, rho_row_scale=rho_row_scale,
     )
     out = dict(out)
     carry = out.pop("carry")
+    setup = out.pop("setup")
     if int(out["status"]) != results_mod.MAX_ITER_REACHED:
-        return dyn, carry, out  # solved (or certified) within the probe
+        return dyn, carry, setup, out  # solved (or certified) within the probe
     t0 = time.perf_counter()
     out = solver_mod.solve_jit(
         Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
         dyn._replace(max_iter=np.asarray(2 * probe, np.int32)),
         static=static, carry_in=carry, return_carry=True,
         kkt_precond=kkt_precond, kkt_block=kkt_block,
+        rho_row_scale=rho_row_scale, setup_in=setup,
     )
     out = dict(out)
     carry = out.pop("carry")
+    setup = out.pop("setup")
     status = int(out["status"])  # also forces the host transfer for timing
     per_iter = (time.perf_counter() - t0) / probe
     setup = times.graph_time + times.setup_time
@@ -788,8 +825,8 @@ def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
     self.auto_rho_interval = iv
     dyn = dyn._replace(adaptive_rho_interval=np.asarray(iv, np.int32))
     if status != results_mod.MAX_ITER_REACHED:
-        return dyn, carry, out
-    return dyn, carry, None
+        return dyn, carry, setup, out
+    return dyn, carry, setup, None
 
 
 Model._resolve_auto_rho_interval = _resolve_auto_rho_interval
@@ -797,7 +834,8 @@ Model._resolve_auto_rho_interval = _resolve_auto_rho_interval
 
 def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
                    settings, t_start, dtype, carry=None, kkt_precond=None,
-                   kkt_block=None, dispatch_chunk=-1):
+                   kkt_block=None, dispatch_chunk=-1, rho_row_scale=None,
+                   setup0=None):
     """Chunked solve: run fixed-size chunks of the SAME compiled program
     (``max_iter`` is a device scalar) and re-enter with the full loop carry,
     so the iterate trajectory — rho state, accelerator history, CG warm
@@ -810,6 +848,11 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
     single dispatches)."""
     timed = bool(settings.time_limit and settings.time_limit > 0)
     if timed:
+        # start small so the wall clock is consulted early, then grow the
+        # chunk toward ~5 s of device time: each chunk re-entry costs a
+        # fixed ~0.3 s of dispatch/transfer overhead through the tunnel,
+        # so fixed small chunks taxed long solves ~25% (measured at
+        # banded-2000 with 250-iteration chunks)
         chunk = max(int(settings.check_termination) * 10, 50)
         if dispatch_chunk > 0:
             chunk = min(chunk, dispatch_chunk)
@@ -825,15 +868,21 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
     printed_n = int(np.asarray(carry.hist_n)) if (
         live_rows and carry is not None
     ) else 0
+    setup = setup0
+    chunk_cap = dispatch_chunk if dispatch_chunk > 0 else 4000
     while True:
+        t_chunk = time.perf_counter()
+        it_before = limit
         limit = min(limit + chunk, int(settings.max_iter))
         out = solver_mod.solve_jit(
             Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
             dyn._replace(max_iter=np.asarray(limit, np.int32)),
             static=static, carry_in=carry, return_carry=True,
             kkt_precond=kkt_precond, kkt_block=kkt_block,
+            rho_row_scale=rho_row_scale, setup_in=setup,
         )
         carry = out.pop("carry")
+        setup = out.pop("setup")
         status = int(out["status"])
         if live_rows:
             from ..utils import printing
@@ -852,6 +901,10 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
             out = dict(out)
             out["status"] = np.asarray(results_mod.TIME_LIMIT_REACHED)
             break
+        if timed:
+            # grow toward ~5 s device chunks (never past the dispatch cap)
+            per_iter = (time.perf_counter() - t_chunk) / max(limit - it_before, 1)
+            chunk = int(min(max(5.0 / max(per_iter, 1e-9), chunk), chunk_cap))
     return out
 
 

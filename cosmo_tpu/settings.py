@@ -160,6 +160,13 @@ class Settings:
     # at banded-2000). 0 disables the gate (refine from iteration 1).
     # Mirrors the mixed_precision_switch latch design.
     kkt_refine_switch: float = 1e-3
+    # rho multiplier for rows carrying compact-decomposition overlap
+    # variables (the +-1 consistency rows): the separator coupling is the
+    # decomposed dual's known conditioning bottleneck, and weighting those
+    # rows' rho rebalances the per-row primal/dual residual trade
+    # (extends the reference's 3-class row rule, parameters.jl:17-49,
+    # which has no decomposition-aware class). 1.0 = off.
+    rho_overlap_scale: float = 1.0
     # Structure-aware CG preconditioner for the compact decomposition's
     # overlap block (exact Sherman-Morrison inverse of sigma I + O' rho O,
     # ops/kkt.py OverlapPrecond); Jacobi elsewhere.

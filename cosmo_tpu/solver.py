@@ -54,6 +54,23 @@ _RHO_EQ = 1
 _RHO_LOOSE = 2
 
 
+class SetupState(NamedTuple):
+    """Device-resident outputs of the in-jit setup phase (scaled problem
+    data + row classification). A chunked solve re-enters the SAME compiled
+    program through the loop carry; passing the setup back in skips the
+    Ruiz fori-loop and classification on every re-entry (measured ~1.2 s
+    per chunk at the 10k north-star — 21 chunks under a time limit)."""
+
+    P: Any
+    A: Any
+    q: Any
+    b: Any
+    lb: Any
+    ub: Any
+    sm: Any                # ScaleMats
+    rho_class: Any
+
+
 class LoopCarry(NamedTuple):
     w: Any
     w_prev: Any
@@ -97,13 +114,18 @@ class LoopCarry(NamedTuple):
     eig: Any               # per-PSD-bucket eigenbasis carry (amortized) or ()
 
 
-def _make_rho_vec(rho, rho_class, dyn):
-    """rho per row from the row class (reference: parameters.jl:17-49)."""
-    return jnp.where(
+def _make_rho_vec(rho, rho_class, dyn, row_scale=None):
+    """rho per row from the row class (reference: parameters.jl:17-49),
+    optionally multiplied by a static per-row scale (e.g. the
+    decomposition-overlap weighting, Settings.rho_overlap_scale)."""
+    rv = jnp.where(
         rho_class == _RHO_EQ,
         rho * dyn.rho_eq_over_rho_ineq,
         jnp.where(rho_class == _RHO_LOOSE, dyn.rho_min, rho),
     )
+    if row_scale is not None:
+        rv = jnp.clip(rv * row_scale, dyn.rho_min, dyn.rho_max)
+    return rv
 
 
 def _classify_rows(cones, b, lb, ub, dyn):
@@ -121,7 +143,7 @@ def _classify_rows(cones, b, lb, ub, dyn):
 
 def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
           carry_in=None, return_carry: bool = False, kkt_precond=None,
-          kkt_block=None):
+          kkt_block=None, rho_row_scale=None, setup_in=None):
     """Full solve on device. All inputs are device arrays / pytrees; `static`
     is hashable config. Wrap with jax.jit(static_argnums=(..,)) upstream.
 
@@ -130,7 +152,9 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     (iterates, rho, accelerator history, CG warm start, iteration counters),
     so a chunked time-limited solve follows the identical iterate trajectory
     as one uninterrupted solve (reference behavior: solver.jl:303-321).
-    ``x0``/``s0``/``mu0`` are ignored on resume.
+    ``x0``/``s0``/``mu0`` are ignored on resume. ``setup_in``: the
+    :class:`SetupState` from the previous chunk — skips the in-jit Ruiz
+    scaling/classification on re-entry.
     """
     m, n = static.m, static.n
     dtype = q.dtype
@@ -138,20 +162,30 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     # ------------------------------------------------------------------
     # Setup (reference: solver.jl:96-138, setup.jl)
     # ------------------------------------------------------------------
-    if static.scaling_iters > 0:
-        P, A, q, b, lb, ub, sm = scaling_ops.ruiz_scale(
-            P, A, q, b, cones, static.scaling_iters, dyn
-        )
+    if setup_in is not None:
+        P, A, q, b = setup_in.P, setup_in.A, setup_in.q, setup_in.b
+        lb, ub, sm = setup_in.lb, setup_in.ub, setup_in.sm
+        rho_class = setup_in.rho_class
+        setup_state = setup_in
     else:
-        sm = scaling_ops.identity_scale(m, n, dtype)
-        lb, ub = cones.lb, cones.ub
+        if static.scaling_iters > 0:
+            P, A, q, b, lb, ub, sm = scaling_ops.ruiz_scale(
+                P, A, q, b, cones, static.scaling_iters, dyn
+            )
+        else:
+            sm = scaling_ops.identity_scale(m, n, dtype)
+            lb, ub = cones.lb, cones.ub
+        rho_class = None  # filled below (needs the scaled cone bounds)
     cones = dataclasses.replace(cones, lb=lb, ub=ub)
 
     x, mu, s0v = scaling_ops.scale_variables(x0, mu0, s0, sm)
 
-    rho_class = _classify_rows(cones, b, lb, ub, dyn)
+    if rho_class is None:
+        rho_class = _classify_rows(cones, b, lb, ub, dyn)
+        setup_state = SetupState(P=P, A=A, q=q, b=b, lb=lb, ub=ub, sm=sm,
+                                 rho_class=rho_class)
     rho = dyn.rho
-    rho_vec = _make_rho_vec(rho, rho_class, dyn)
+    rho_vec = _make_rho_vec(rho, rho_class, dyn, rho_row_scale)
     rho_log = jnp.zeros(RHO_LOG_LEN, dtype).at[0].set(rho)
 
     # periodic residual measurements ride the compensated matvecs whenever
@@ -358,7 +392,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         ) | c.rho_force
 
         def apply(c: LoopCarry) -> LoopCarry:
-            rho_vec = _make_rho_vec(new_rho, rho_class, dyn)
+            rho_vec = _make_rho_vec(new_rho, rho_class, dyn, rho_row_scale)
             kkt_new = kkt_setup(rho_vec)
             # re-express w in the new scaling (solver.jl:278)
             w2 = mu_k / rho_vec + c.s
@@ -564,14 +598,29 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # this). Gating only — the certified status always comes from the
         # clean shadow deltas above. The `norm > tol` requirement inside
         # the certificates keeps converging feasible solves (tiny deltas)
-        # from firing the gate.
+        # from firing the gate. The two gate passes run only on checks
+        # whose residual score is already stagnant: converging solves skip
+        # them entirely (they cost two extra batched-PSD membership
+        # batteries, ~12% of banded-2000 throughput when run every check).
         mu_now = recover_mu(c.w_prev, c.s, c.rho_vec)
         x_now = c.w_prev[:n]
-        prim_gate = infeas.is_primal_infeasible(
-            c.gy - mu_now, P, A, b, cones, sm, 100.0 * dyn.eps_prim_inf
+        score = c.res.r_prim / (c.res.max_norm_prim + 1e-10) + c.res.r_dual / (
+            c.res.max_norm_dual + 1e-10
         )
-        dual_gate = infeas.is_dual_infeasible(
-            x_now - c.gx, P, A, q, cones, sm, 100.0 * dyn.eps_dual_inf
+        stag_score = score >= 0.95 * c.chk_best
+
+        def gate_certs(_):
+            pg = infeas.is_primal_infeasible(
+                c.gy - mu_now, P, A, b, cones, sm, 100.0 * dyn.eps_prim_inf
+            )
+            dg = infeas.is_dual_infeasible(
+                x_now - c.gx, P, A, q, cones, sm, 100.0 * dyn.eps_dual_inf
+            )
+            return pg, dg
+
+        prim_gate, dual_gate = lax.cond(
+            stag_score, gate_certs,
+            lambda _: (jnp.asarray(False), jnp.asarray(False)), None,
         )
         prim_loose |= prim_gate
         dual_loose |= dual_gate
@@ -599,9 +648,6 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # orbits oscillate around a frozen best (magnitude is NOT a
         # separator: a large-norm infeasible problem can sit at relative
         # score 7e-5 forever).
-        score = c.res.r_prim / (c.res.max_norm_prim + 1e-10) + c.res.r_dual / (
-            c.res.max_norm_dual + 1e-10
-        )
         # Escalate only on EVIDENCE: (a) the solve is stagnant — the floor
         # is the monotone running min; an infeasible orbit oscillates above
         # a near-frozen floor while a converging solve keeps setting >=5%
@@ -611,12 +657,17 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # problem, and never on the feasible benchmarks). Without (b),
         # slow-improving feasible tails sit in escalated windows forever
         # and the duplicated shadow steps cost ~2x per iteration (measured
-        # on the 10k banded SDP: 22 -> 14 iter/s).
+        # on the 10k banded SDP: 22 -> 14 iter/s). Escalation additionally
+        # waits for a SECOND consecutive stagnant+evidence check: infeasible
+        # orbits satisfy both persistently, while a feasible solve's
+        # transient AA plateaus fire them once and recover — single-check
+        # escalation measured 39% of north-star throughput in armed
+        # shadow windows.
         near = prim_loose | dual_loose
-        stagnant = (score >= 0.95 * c.chk_best) & near
+        stagnant = stag_score & near
         stag_chks = jnp.where(stagnant, c.stag_chks + 1, 0)
         win = jnp.where(
-            stagnant,
+            stag_chks >= 2,
             jnp.clip(c.inf_win * 4, 8, 512),
             jnp.asarray(INFEAS_PLAIN_WINDOW, jnp.int32),
         )
@@ -935,6 +986,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         out["res_hist_n"] = c.hist_n
     if return_carry:
         out["carry"] = c
+        out["setup"] = setup_state
     return out
 
 
@@ -1002,7 +1054,8 @@ def fetch_out(out) -> dict:
 
 
 def solve_chunked(P, A, q, b, cones, x0, s0, mu0, dyn, static,
-                  chunk: int = 0, kkt_precond=None, kkt_block=None):
+                  chunk: int = 0, kkt_precond=None, kkt_block=None,
+                  rho_row_scale=None):
     """Chunked direct-solver entry: identical trajectory to one
     :func:`solve_jit` call, but no single device dispatch runs more than
     ``chunk`` iterations — the loop re-enters the SAME compiled program
@@ -1026,8 +1079,10 @@ def solve_chunked(P, A, q, b, cones, x0, s0, mu0, dyn, static,
     max_iter = int(np.asarray(dyn.max_iter))
     if chunk <= 0 or max_iter <= chunk:
         return solve_jit(P, A, q, b, cones, x0, s0, mu0, dyn, static=static,
-                         kkt_precond=kkt_precond, kkt_block=kkt_block)
+                         kkt_precond=kkt_precond, kkt_block=kkt_block,
+                         rho_row_scale=rho_row_scale)
     carry = None
+    setup = None
     limit = 0
     while True:
         limit = min(limit + chunk, max_iter)
@@ -1036,7 +1091,9 @@ def solve_chunked(P, A, q, b, cones, x0, s0, mu0, dyn, static,
             dyn._replace(max_iter=np.asarray(limit, np.int32)),
             static=static, carry_in=carry, return_carry=True,
             kkt_precond=kkt_precond, kkt_block=kkt_block,
+            rho_row_scale=rho_row_scale, setup_in=setup,
         ))
         carry = out.pop("carry")
+        setup = out.pop("setup")
         if int(out["status"]) != results.MAX_ITER_REACHED or limit >= max_iter:
             return out

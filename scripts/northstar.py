@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--max-iter", type=int, default=20_000)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    # ADMM+AA iteration counts are chaotic across tiny numeric changes
+    # (BASELINE.md documents +-75% swings); a single run cannot separate a
+    # real regression from the noise band. --seeds N solves N problem
+    # instances and reports the median/min/max warm statistics.
+    ap.add_argument("--seeds", type=int, default=1)
     args = ap.parse_args()
 
     import numpy as np
@@ -48,59 +53,73 @@ def main():
     import cosmo_tpu as ct
     from cosmo_tpu import problems
 
-    t0 = time.perf_counter()
-    if args.problem == "banded":
-        P, q, A, b, sets, _ = problems.banded_sdp(
-            n_nodes=args.nodes, bandwidth=args.bandwidth, seed=0, sparse=True
-        )
-    else:
-        density = args.density if args.density > 0 else 4.0 / args.nodes
-        P, q, A, b, sets, _ = problems.maxcut(
-            n_nodes=args.nodes, density=density, seed=0, sparse=True
-        )
-    t_gen = time.perf_counter() - t0
+    def run_seed(seed: int):
+        t0 = time.perf_counter()
+        if args.problem == "banded":
+            P, q, A, b, sets, _ = problems.banded_sdp(
+                n_nodes=args.nodes, bandwidth=args.bandwidth, seed=seed,
+                sparse=True,
+            )
+        else:
+            density = args.density if args.density > 0 else 4.0 / args.nodes
+            P, q, A, b, sets, _ = problems.maxcut(
+                n_nodes=args.nodes, density=density, seed=seed, sparse=True
+            )
+        t_gen = time.perf_counter() - t0
 
-    dtype = np.float64 if args.f64 else np.float32
-    model = ct.Model(
-        ct.Settings(
-            eps_abs=args.eps,
-            eps_rel=args.eps,
-            max_iter=args.max_iter,
-            time_limit=args.time_limit,
-            decompose=True,
-            dtype=dtype,
-            verbose=True,
+        dtype = np.float64 if args.f64 else np.float32
+        model = ct.Model(
+            ct.Settings(
+                eps_abs=args.eps,
+                eps_rel=args.eps,
+                max_iter=args.max_iter,
+                time_limit=args.time_limit,
+                decompose=True,
+                dtype=dtype,
+                verbose=args.seeds == 1,
+            )
         )
-    )
-    model.set(P, q, A, b, sets)
-    r = model.optimize()
-    # second solve: decomposition + compiled program cached
-    r2 = model.optimize()
-    print(
-        json.dumps(
-            {
-                "problem": args.problem,
-                "nodes": args.nodes,
-                "m_pre_decomposition": int(A.shape[0]),
-                "status": r.status,
-                "iter": r.iter,
-                "r_prim": r.info.r_prim,
-                "r_dual": r.info.r_dual,
-                "obj": r.obj_val,
-                "gen_s": round(t_gen, 2),
-                "setup_s": round(r.times.setup_time, 2),
-                "iter_s_cold": round(r.times.iter_time, 2),
-                "solver_s_cold": round(r.times.solver_time, 2),
-                "warm": {
-                    "status": r2.status,
-                    "iter": r2.iter,
-                    "iter_s": round(r2.times.iter_time, 2),
-                    "solver_s": round(r2.times.solver_time, 2),
-                    "iters_per_s": round(r2.iter / max(r2.times.iter_time, 1e-9), 1),
-                },
-            }
-        )
-    )
+        model.set(P, q, A, b, sets)
+        r = model.optimize()
+        # second solve: decomposition + compiled program cached
+        r2 = model.optimize()
+        return {
+            "seed": seed,
+            "m_pre_decomposition": int(A.shape[0]),
+            "status": r.status,
+            "iter": r.iter,
+            "r_prim": r.info.r_prim,
+            "r_dual": r.info.r_dual,
+            "obj": r.obj_val,
+            "gen_s": round(t_gen, 2),
+            "setup_s": round(r.times.setup_time, 2),
+            "iter_s_cold": round(r.times.iter_time, 2),
+            "solver_s_cold": round(r.times.solver_time, 2),
+            "warm": {
+                "status": r2.status,
+                "iter": r2.iter,
+                "iter_s": round(r2.times.iter_time, 2),
+                "solver_s": round(r2.times.solver_time, 2),
+                "iters_per_s": round(r2.iter / max(r2.times.iter_time, 1e-9), 1),
+            },
+        }
+
+    runs = [run_seed(s) for s in range(args.seeds)]
+    out = {"problem": args.problem, "nodes": args.nodes, "runs": runs}
+    if args.seeds > 1:
+        med = lambda xs: float(np.median(np.asarray(xs, float)))
+        w_iters = [r["warm"]["iter"] for r in runs]
+        w_times = [r["warm"]["solver_s"] for r in runs]
+        out["warm_median"] = {
+            "iter": med(w_iters), "iter_min": min(w_iters),
+            "iter_max": max(w_iters),
+            "solver_s": med(w_times), "solver_s_min": min(w_times),
+            "solver_s_max": max(w_times),
+            "all_solved": all(r["warm"]["status"] == "Solved" for r in runs),
+        }
+    else:
+        out.update(runs[0])
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

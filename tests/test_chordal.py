@@ -304,3 +304,100 @@ def test_dense_psd_cone_exempt_from_decomposition(capsys):
     assert not m2.is_decomposed
     assert r1.status == r2.status == "Solved"
     assert abs(r1.obj_val - r2.obj_val) < 1e-4
+
+
+def test_rho_overlap_scale_same_solution():
+    """Settings.rho_overlap_scale reweights the +-1 consistency rows' rho
+    (an iteration-count lever for separator conditioning); any positive
+    scale must land on the same solution."""
+    P, q, A, b, sets, _ = problems.maxcut(n_nodes=25, density=0.15, seed=7)
+    ref = None
+    for scale in (1.0, 0.2, 5.0):
+        m = ct.Model(ct.Settings(decompose=True, eps_abs=1e-8, eps_rel=1e-8,
+                                 max_iter=20000, rho_overlap_scale=scale))
+        m.set(P, q, A, b, sets)
+        r = m.optimize()
+        assert r.status == "Solved", scale
+        if ref is None:
+            ref = r.obj_val
+        else:
+            assert abs(r.obj_val - ref) < 1e-5 * max(1.0, abs(ref)), scale
+
+
+def test_user_merge_strategy_edge_weight():
+    """The extension hook of the reference's strategy pattern
+    (AbstractMergeStrategy / AbstractEdgeWeight,
+    clique_merging.jl:108-129, :388-403): a user-supplied edge weight
+    drives the clique-graph merge and the solve stays correct."""
+    P, q, A, b, sets, _ = problems.maxcut(n_nodes=25, density=0.15, seed=7)
+
+    def cardinality_weight(c1, c2):
+        # merge while the separators are large relative to the cliques
+        return float(2 * len(c1 & c2) - min(len(c1), len(c2)))
+
+    m0 = ct.Model(ct.Settings(decompose=False, eps_abs=1e-7, eps_rel=1e-7))
+    m0.set(P, q, A, b, sets)
+    r0 = m0.optimize()
+
+    m1 = ct.Model(ct.Settings(
+        decompose=True, eps_abs=1e-7, eps_rel=1e-7, max_iter=20000,
+        merge_strategy=ct.CliqueGraphMerge(edge_weight=cardinality_weight),
+    ))
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert m1.is_decomposed
+    assert r1.status == "Solved"
+    assert abs(r1.obj_val - r0.obj_val) < 1e-4 * max(1.0, abs(r0.obj_val))
+
+
+def test_user_merge_strategy_custom_callable():
+    """A fully custom tree-based strategy: merge every clique into its
+    parent whenever the separator covers half the child (user-defined
+    traverse/evaluate logic, reference clique_merging.jl:108-129)."""
+    from cosmo_tpu.chordal.trees import DEAD, children_from_par, post_order
+
+    class HalfSepMerge(ct.MergeStrategy):
+        graph_based = False
+
+        def __call__(self, t):
+            child = children_from_par(t.snd_par)
+            for pos in range(len(t.snd_post) - 2, -1, -1):
+                c = int(t.snd_post[pos])
+                p = int(t.snd_par[c])
+                if p < 0:
+                    continue
+                merge = 2 * len(t.sep[c]) >= len(t.snd[c]) + len(t.sep[c])
+                t.merge_log.clique_pairs.append((p, c))
+                t.merge_log.decisions.append(bool(merge))
+                if not merge:
+                    continue
+                t.merge_log.num += 1
+                t.snd[p] |= t.snd[c]
+                t.snd[c] = set()
+                t.sep[c] = set()
+                for g in child[c]:
+                    t.snd_par[g] = p
+                    child[p].append(g)
+                t.snd_par[c] = DEAD
+                child[p].remove(c)
+                child[c] = []
+                t.num -= 1
+                if t.num == 1:
+                    break
+            t.snd_post = post_order(
+                t.snd_par, children_from_par(t.snd_par), t.num
+            )
+
+    P, q, A, b, sets, _ = problems.maxcut(n_nodes=25, density=0.15, seed=7)
+    m0 = ct.Model(ct.Settings(decompose=False, eps_abs=1e-7, eps_rel=1e-7))
+    m0.set(P, q, A, b, sets)
+    r0 = m0.optimize()
+    m1 = ct.Model(ct.Settings(
+        decompose=True, eps_abs=1e-7, eps_rel=1e-7, max_iter=20000,
+        merge_strategy=HalfSepMerge(),
+    ))
+    m1.set(P, q, A, b, sets)
+    r1 = m1.optimize()
+    assert m1.is_decomposed
+    assert r1.status == "Solved"
+    assert abs(r1.obj_val - r0.obj_val) < 1e-4 * max(1.0, abs(r0.obj_val))
