@@ -139,6 +139,9 @@ def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto",
         accelerator=None, adaptive_rho=False,
         check_termination=25, scaling=10,
         kkt_refine_steps=refine_steps,
+        # the fixed-work residuals never cross the endgame gate, so the
+        # refined shape must disable it to measure always-refined cost
+        kkt_refine_switch=0.0,
         mixed_precision=mixed_precision,
     )
     cones = conedata.compile_cones(

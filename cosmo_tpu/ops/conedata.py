@@ -77,17 +77,31 @@ class PsdBucket:
     scatter_scale: Any   # dtype [B, k, k]
     side: int = static_field()
     symmetrize: bool = static_field()  # square storage needs (X + X^T)/2
-    # Fast path for a bucket of uniform-side triangle blocks in contiguous
+    # Fast paths for a bucket of uniform-side triangle blocks in contiguous
     # rows (every uniform block_sdp / padded decomposed layout): the
     # per-iteration [B,k,k] arbitrary-index gather/scatter — measured as
     # the TOP per-iteration cost on chip (XLA TPU gathers run at a few
-    # elements/cycle) — becomes a contiguous reshape plus one small
-    # selection matmul on the MXU (svec->full expansion S, full->svec
-    # compression S2, with the sqrt2 scaling folded in).
-    contig_start: int = static_field(default=-1)   # -1 = fast path off
-    tri_len: int = static_field(default=0)          # tri_dim(r)
-    expand: Any = None     # dtype [tri_len, k*k]
-    compress: Any = None   # dtype [k*k, tri_len]
+    # elements/cycle) — becomes either
+    #  * "matmul" (k <= 64): a contiguous reshape plus one small selection
+    #    matmul on the MXU (svec->full expansion S, full->svec compression
+    #    S2, sqrt2 scaling folded in); the matrices are O(tri(k) k^2), so
+    #    this caps at small k; or
+    #  * "shear" (k > 64): svec columns are CONTIGUOUS runs, so expansion
+    #    is k slice-gathers of length r (one dynamic_slice per column via
+    #    vmap -> one structured XLA gather) + a mask/scale + symmetrize,
+    #    and compression one flat [tri]-index gather from the k*k matrix.
+    #    Measured at [8,256,256]: 3.88 -> 0.38 ms expand, 2.99 -> 0.37 ms
+    #    compress vs the scalar-index maps.
+    fastpath: str = static_field(default="none")   # "none"|"matmul"|"shear"
+    contig_start: int = static_field(default=-1)   # v offset of the bucket
+    tri_len: int = static_field(default=0)          # tri_dim(r0)
+    r0: int = static_field(default=0)               # real (uniform) side
+    expand: Any = None     # dtype [tri_len, k*k]      (matmul)
+    compress: Any = None   # dtype [k*k, tri_len]      (matmul)
+    sh_starts: Any = None  # int32 [r0] column starts   (shear)
+    sh_scale: Any = None   # dtype [r0, r0] mask*scale  (shear, rows = cols)
+    sh_flat: Any = None    # int32 [tri_len] flat (i*r0+j) map (shear)
+    sh_csc: Any = None     # dtype [tri_len] compress scale     (shear)
 
 
 @register_pytree_dataclass
@@ -411,28 +425,47 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
                         s_idx[b, i, j] = t
                         s_scl[b, i, j] = 1.0 if i == j else SQRT2
         # uniform-side triangle blocks in contiguous rows -> selection-
-        # matmul fast path (projections._psd_gather / project)
-        contig_start, tri_len, expand, compress = -1, 0, None, None
+        # matmul (small k) or slice-shear (large k) fast path
+        # (projections._psd_gather / project)
+        fastpath, contig_start, tri_len, r0u = "none", -1, 0, 0
+        expand = compress = None
+        sh_starts = sh_scale = sh_flat = sh_csc = None
         rs = {r for (_, r, _) in blocks}
-        # k <= 64: the selection matrices are O(tri(k) * k^2) = O(k^4)
-        # (8.6 GB at k = 256); at small k they are a few MB and the matmul
-        # replaces the gather at a fraction of its cost
-        if kinds == {False} and len(rs) == 1 and k <= 64:
-            r0 = next(iter(rs))
-            t0 = r0 * (r0 + 1) // 2
+        if kinds == {False} and len(rs) == 1:
+            r0u = next(iter(rs))
+            t0 = r0u * (r0u + 1) // 2
             offs = [o for (o, _, _) in blocks]
             if all(offs[i + 1] - offs[i] == t0 for i in range(len(offs) - 1)):
                 contig_start = int(offs[0])
                 tri_len = t0
-                expand = np.zeros((t0, k * k), dtype)
-                compress = np.zeros((k * k, t0), dtype)
-                for j in range(r0):
-                    for i in range(j + 1):
-                        t = _tri_index(i, j)
-                        scl = 1.0 if i == j else 1.0 / SQRT2
-                        expand[t, i * k + j] = scl
-                        expand[t, j * k + i] = scl
-                        compress[i * k + j, t] = 1.0 if i == j else SQRT2
+                if k <= 64:
+                    # the selection matrices are O(tri(k) * k^2) = O(k^4)
+                    # (8.6 GB at k = 256); at small k they are a few MB and
+                    # the matmul replaces the gather at a fraction of its
+                    # cost
+                    fastpath = "matmul"
+                    expand = np.zeros((t0, k * k), dtype)
+                    compress = np.zeros((k * k, t0), dtype)
+                    for j in range(r0u):
+                        for i in range(j + 1):
+                            t = _tri_index(i, j)
+                            scl = 1.0 if i == j else 1.0 / SQRT2
+                            expand[t, i * k + j] = scl
+                            expand[t, j * k + i] = scl
+                            compress[i * k + j, t] = 1.0 if i == j else SQRT2
+                else:
+                    fastpath = "shear"
+                    jr = np.arange(r0u)
+                    sh_starts = (jr * (jr + 1) // 2).astype(np.int32)
+                    # rows index the column j, lanes the row i (sheared)
+                    mask = jr[None, :] <= jr[:, None]
+                    sh_scale = np.where(
+                        jr[None, :] == jr[:, None], 1.0, 1.0 / SQRT2
+                    ).astype(dtype) * mask
+                    jj_t = np.repeat(jr, jr + 1)
+                    ii_t = np.arange(t0) - (jj_t * (jj_t + 1) // 2)
+                    sh_flat = (ii_t * r0u + jj_t).astype(np.int32)
+                    sh_csc = np.where(ii_t == jj_t, 1.0, SQRT2).astype(dtype)
 
         psd_bucket_objs.append(
             PsdBucket(
@@ -442,10 +475,16 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
                 scatter_scale=s_scl,
                 side=k,
                 symmetrize=symmetrize,
+                fastpath=fastpath,
                 contig_start=contig_start,
                 tri_len=tri_len,
+                r0=int(r0u),
                 expand=expand,
                 compress=compress,
+                sh_starts=sh_starts,
+                sh_scale=sh_scale,
+                sh_flat=sh_flat,
+                sh_csc=sh_csc,
             )
         )
 

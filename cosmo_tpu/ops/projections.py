@@ -12,6 +12,7 @@ ops over the batched cone representation:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -45,16 +46,38 @@ def _soc_project_bucket(x):
 
 
 def _psd_gather(v_ext, bucket: PsdBucket):
-    if bucket.contig_start >= 0:
-        # uniform contiguous triangle bucket: contiguous slice + one small
-        # selection matmul (svec->full with the 1/sqrt2 folded in) on the
-        # MXU — the arbitrary-index [B,k,k] gather was the single largest
-        # per-iteration cost on chip
+    if bucket.fastpath == "matmul":
+        # uniform contiguous triangle bucket, small k: contiguous slice +
+        # one small selection matmul (svec->full with the 1/sqrt2 folded
+        # in) on the MXU — the arbitrary-index [B,k,k] gather was the
+        # single largest per-iteration cost on chip
         B = bucket.gather_idx.shape[0]
         V = lax.dynamic_slice(
             v_ext, (bucket.contig_start,), (B * bucket.tri_len,)
         ).reshape(B, bucket.tri_len)
         return (V @ bucket.expand).reshape(B, bucket.side, bucket.side)
+    if bucket.fastpath == "shear":
+        # large k: svec columns are contiguous runs, so the expansion is
+        # r0 slice-gathers (one structured gather) + mask/scale +
+        # symmetrize — ~10x the scalar-index gather at [8,256,256]
+        B = bucket.gather_idx.shape[0]
+        r0, k = bucket.r0, bucket.side
+        V = lax.dynamic_slice(
+            v_ext, (bucket.contig_start,), (B * bucket.tri_len,)
+        ).reshape(B, bucket.tri_len)
+        Vp = jnp.pad(V, ((0, 0), (0, r0)))
+        Xs = jax.vmap(lambda vb: jax.vmap(
+            lambda st: lax.dynamic_slice(vb, (st,), (r0,))
+        )(bucket.sh_starts))(Vp)                      # [B, j, i] sheared
+        U = Xs * bucket.sh_scale[None]                # masked cols-as-rows
+        Ut = jnp.swapaxes(U, -1, -2)                  # upper triangular
+        d = jnp.einsum("bjj->bj", Ut)
+        X = Ut + jnp.swapaxes(Ut, -1, -2) - jnp.einsum(
+            "bj,jk->bjk", d, jnp.eye(r0, dtype=U.dtype)
+        )
+        if r0 < k:
+            X = jnp.pad(X, ((0, 0), (0, k - r0), (0, k - r0)))
+        return X
     X = v_ext[bucket.gather_idx] * bucket.gather_scale
     if bucket.symmetrize:
         X = 0.5 * (X + jnp.swapaxes(X, -1, -2))
@@ -147,9 +170,17 @@ def project(w2, cones: ConeData, eig_state=(), loose=None):
             new_state.append(V)
         else:
             Y = _psd_project_bucket(X, cones, loose)
-        if bucket.contig_start >= 0:
+        if bucket.fastpath == "matmul":
             B = bucket.gather_idx.shape[0]
             T = (Y.reshape(B, bucket.side * bucket.side) @ bucket.compress)
+            s = lax.dynamic_update_slice(
+                s, T.reshape(-1), (bucket.contig_start,)
+            )
+        elif bucket.fastpath == "shear":
+            B = bucket.gather_idx.shape[0]
+            r0 = bucket.r0
+            Yc = Y[:, :r0, :r0]
+            T = Yc.reshape(B, r0 * r0)[:, bucket.sh_flat] * bucket.sh_csc[None]
             s = lax.dynamic_update_slice(
                 s, T.reshape(-1), (bucket.contig_start,)
             )

@@ -97,17 +97,25 @@ def shard_cones(mesh: Mesh, cones, axis: str = BLOCK_AXIS):
         # Batch padding with dump blocks breaks the contiguous-rows
         # precondition, so uneven buckets fall back to the index maps
         # (which encode the dump no-ops).
-        keep_fast = bkt.contig_start >= 0 and bkt.gather_idx.shape[0] % d == 0
+        keep_fast = (
+            bkt.fastpath != "none" and bkt.gather_idx.shape[0] % d == 0
+        )
+        rput = lambda x: _put(x, rep) if (keep_fast and x is not None) else None
         return dataclasses.replace(
             bkt,
             gather_idx=_put(_pad_batch(bkt.gather_idx, d, DUMP), batch3),
             gather_scale=_put(_pad_batch(bkt.gather_scale, d, 0), batch3),
             scatter_idx=_put(_pad_batch(bkt.scatter_idx, d, DUMP), batch3),
             scatter_scale=_put(_pad_batch(bkt.scatter_scale, d, 0), batch3),
+            fastpath=bkt.fastpath if keep_fast else "none",
             contig_start=bkt.contig_start if keep_fast else -1,
             tri_len=bkt.tri_len if keep_fast else 0,
-            expand=_put(bkt.expand, rep) if keep_fast else None,
-            compress=_put(bkt.compress, rep) if keep_fast else None,
+            expand=rput(bkt.expand),
+            compress=rput(bkt.compress),
+            sh_starts=rput(bkt.sh_starts),
+            sh_scale=rput(bkt.sh_scale),
+            sh_flat=rput(bkt.sh_flat),
+            sh_csc=rput(bkt.sh_csc),
         )
 
     psd = tuple(_shard_psd(bkt) for bkt in cones.psd_buckets)

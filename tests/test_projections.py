@@ -276,8 +276,8 @@ def test_contiguous_bucket_fast_path_matches_index_maps():
     legacy = dataclasses.replace(
         cd,
         psd_buckets=tuple(
-            dataclasses.replace(b, contig_start=-1, tri_len=0,
-                                expand=None, compress=None)
+            dataclasses.replace(b, fastpath="none", contig_start=-1,
+                                tri_len=0, expand=None, compress=None)
             for b in cd.psd_buckets
         ),
     )
@@ -289,3 +289,37 @@ def test_contiguous_bucket_fast_path_matches_index_maps():
         a = bool(projections.in_pol_recc(jnp.asarray(v), cd, tol))
         b_ = bool(projections.in_pol_recc(jnp.asarray(v), legacy, tol))
         assert a == b_
+
+
+def test_shear_fast_path_matches_index_maps():
+    """The slice-shear fast path (uniform contiguous triangle buckets with
+    side > 64, where the selection matrices would be O(k^4)) must match the
+    generic index maps, including at a padded side (r0 < k)."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    from cosmo_tpu.problems import tri_dim
+
+    for r in (96, 90):   # 96 == bucket side; 90 pads to 96
+        sets = [C.PsdConeTriangle(tri_dim(r)) for _ in range(3)]
+        m = sum(s_.dim for s_ in sets)
+        v = RNG.standard_normal(m)
+        cd = conedata.compile_cones(sets, dtype=np.float64, psd_pad_to=8)
+        assert cd.psd_buckets[0].fastpath == "shear", r
+        s_fast, _ = projections.project(jnp.asarray(v), cd)
+        legacy = dataclasses.replace(
+            cd,
+            psd_buckets=tuple(
+                dataclasses.replace(b, fastpath="none", contig_start=-1,
+                                    tri_len=0, sh_starts=None, sh_scale=None,
+                                    sh_flat=None, sh_csc=None)
+                for b in cd.psd_buckets
+            ),
+        )
+        s_ref, _ = projections.project(jnp.asarray(v), legacy)
+        np.testing.assert_allclose(np.asarray(s_fast), np.asarray(s_ref),
+                                   rtol=1e-12, atol=1e-13)
+        for tol in (1e-6, 1e-2):
+            a = bool(projections.in_pol_recc(jnp.asarray(v), cd, tol))
+            b_ = bool(projections.in_pol_recc(jnp.asarray(v), legacy, tol))
+            assert a == b_
