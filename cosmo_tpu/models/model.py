@@ -817,9 +817,9 @@ def _resolve_auto_rho_interval(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d,
     setup = out.pop("setup")
     status = int(out["status"])  # also forces the host transfer for timing
     per_iter = (time.perf_counter() - t0) / probe
-    setup = times.graph_time + times.setup_time
+    setup_s = times.graph_time + times.setup_time
     ct = max(int(settings.check_termination), 1)
-    iv = settings.adaptive_rho_fraction * setup / max(per_iter, 1e-9)
+    iv = settings.adaptive_rho_fraction * setup_s / max(per_iter, 1e-9)
     iv = int(round(iv / ct)) * ct
     iv = min(max(iv, ct), int(settings.max_iter))
     self.auto_rho_interval = iv

@@ -165,8 +165,12 @@ class Settings:
     # decomposed dual's known conditioning bottleneck, and weighting those
     # rows' rho rebalances the per-row primal/dual residual trade
     # (extends the reference's 3-class row rule, parameters.jl:17-49,
-    # which has no decomposition-aware class). 1.0 = off.
-    rho_overlap_scale: float = 1.0
+    # which has no decomposition-aware class). Applied per-BLOCK as
+    # scale**frac_overlap (cone-scalar, see models/model.py). 1.0 = off.
+    # Default 2.0 from an on-chip sweep (scripts/sweep_rho.py): banded-2000
+    # median iterations 3332 -> 2840 over 8 seeds, maxcut-2000 3645 -> 3405
+    # over 6 seeds, with tighter spreads in both families.
+    rho_overlap_scale: float = 2.0
     # Structure-aware CG preconditioner for the compact decomposition's
     # overlap block (exact Sherman-Morrison inverse of sigma I + O' rho O,
     # ops/kkt.py OverlapPrecond); Jacobi elsewhere.

@@ -38,6 +38,8 @@ def main():
     # real regression from the noise band. --seeds N solves N problem
     # instances and reports the median/min/max warm statistics.
     ap.add_argument("--seeds", type=int, default=1)
+    ap.add_argument("--rho-overlap-scale", type=float, default=-1.0,
+                    help="override Settings.rho_overlap_scale (-1 = default)")
     args = ap.parse_args()
 
     import numpy as np
@@ -68,8 +70,12 @@ def main():
         t_gen = time.perf_counter() - t0
 
         dtype = np.float64 if args.f64 else np.float32
+        overrides = {}
+        if args.rho_overlap_scale > 0:
+            overrides["rho_overlap_scale"] = args.rho_overlap_scale
         model = ct.Model(
             ct.Settings(
+                **overrides,
                 eps_abs=args.eps,
                 eps_rel=args.eps,
                 max_iter=args.max_iter,
