@@ -29,6 +29,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BLOCK_AXIS = "blocks"
 
+# Observability: the most recent shard_cones cost accounting (see
+# psd_cost_report). Model prints it under verbose; tests assert on it.
+LAST_SHARD_REPORT: dict | None = None
+
+
+def psd_cost_report(cones, n_dev: int) -> dict:
+    """Per-device projection-cost accounting for the PSD buckets of a
+    (pre-sharding) ConeData over an ``n_dev``-device mesh.
+
+    Cost model: one PSD projection of a side-k block is O(k^3) (Jacobi
+    sweeps and polar iterations are both cubic). GSPMD splits EVERY
+    bucket's batch dim evenly across the mesh, so each device holds exactly
+    ``ceil(B_i/n_dev)`` blocks of every side k_i — the per-device cost
+    shares are equal BY CONSTRUCTION and the max/mean imbalance ratio is
+    1.0 (greedy bin-packing of whole blocks could never beat an even split
+    of every bucket). What is NOT free is padding: bucket batches are
+    padded to a multiple of n_dev with dummy dump-slot blocks that do the
+    same k^3 work, so the real lever is ``pad_waste`` = padded cost over
+    real-block cost (dummy blocks come from the transform's
+    ``pad_batch=n_dev`` and from _pad_batch here; a 1-block side-192
+    bucket on 8 devices runs 8 projections for 1 real block).
+    """
+    buckets = []
+    cost_real = 0.0
+    cost_pad = 0.0
+    for bkt in cones.psd_buckets:
+        B = int(bkt.gather_idx.shape[0])
+        k = int(bkt.side)
+        # dummy blocks gather only the dump slot: all scales exactly 0
+        scal = np.asarray(bkt.gather_scale)
+        b_real = int(np.sum(np.any(scal != 0, axis=(1, 2))))
+        b_tot = B + ((-B) % n_dev)
+        cost_real += b_real * k**3
+        cost_pad += b_tot * k**3
+        buckets.append(dict(k=k, B_real=b_real, B_padded=b_tot,
+                            local_per_device=b_tot // n_dev))
+    return dict(
+        n_dev=n_dev,
+        imbalance=1.0,   # even per-bucket split: equal device shares, exact
+        pad_waste=round(cost_pad / cost_real, 4) if cost_real else 1.0,
+        cost_real_flops_scale=cost_real,
+        cost_padded_flops_scale=cost_pad,
+        buckets=buckets,
+    )
+
 
 def make_mesh(n_devices: int | None = None, axis: str = BLOCK_AXIS) -> Mesh:
     devs = jax.devices()
@@ -76,11 +121,14 @@ def shard_cones(mesh: Mesh, cones, axis: str = BLOCK_AXIS):
     to the dump slot) — exact no-ops, so uneven clique counts shard without
     changing results.
     """
+    global LAST_SHARD_REPORT
+
     batch = NamedSharding(mesh, P(axis))
     batch2 = NamedSharding(mesh, P(axis, None))
     batch3 = NamedSharding(mesh, P(axis, None, None))
     d = mesh.shape[axis]
     DUMP = cones.m
+    LAST_SHARD_REPORT = psd_cost_report(cones, d)
 
     rep = NamedSharding(mesh, P())
 

@@ -83,6 +83,41 @@ def test_sharded_sparse_decomposed_maxcut_through_model():
     np.testing.assert_array_equal(r8b.x, r8.x)
 
 
+def test_sharded_decomposed_fastpath_survives():
+    """Regression guard for mesh.py's keep_fast logic (VERDICT r3 weak #3):
+    the compact transform pads every decomposed PSD bucket's block count to
+    a multiple of the device count (pad_batch=n_devices), so the
+    selection-matmul/shear fast paths — the biggest single-chip win — must
+    stay active on EVERY bucket after shard_cones. A regression in the
+    transform's pad logic would otherwise silently degrade to index-map
+    gathers with bit-identical results."""
+    from cosmo_tpu.parallel import mesh as mesh_mod
+
+    assert jax.device_count() >= 8
+    P, q, A, b, sets, _ = problems.maxcut(n_nodes=60, density=0.1, seed=3,
+                                          sparse=True)
+    m = ct.Model(ct.Settings(decompose=True, max_iter=5, accelerator=None))
+    m.set(P, q, A, b, sets)
+    m.optimize(mesh=make_mesh(8))
+    assert m.is_decomposed
+    cones_s = m._dev_cache["cones"]
+    assert len(cones_s.psd_buckets) > 0
+    for bkt in cones_s.psd_buckets:
+        assert bkt.fastpath != "none", (
+            f"bucket k={bkt.side} lost its fast path under sharding "
+            f"(B={bkt.gather_idx.shape[0]} % 8 != 0?)"
+        )
+        assert bkt.gather_idx.shape[0] % 8 == 0
+    # the cost accounting: even per-bucket split => exact balance; padding
+    # waste is bounded (dummy blocks only top off each bucket to n_dev)
+    rep = mesh_mod.LAST_SHARD_REPORT
+    assert rep is not None and rep["imbalance"] == 1.0
+    assert rep["pad_waste"] >= 1.0
+    for bk in rep["buckets"]:
+        assert bk["B_padded"] % 8 == 0
+        assert bk["local_per_device"] == bk["B_padded"] // 8
+
+
 def test_sharded_coo_matvec_bitexact():
     """Row/column-aligned nnz chunking makes the sharded segment-sum matvec
     bit-identical to single device: every output entry is computed on one
