@@ -3,9 +3,14 @@
 Shapes (the decomposed-SDP spectrum, SURVEY.md §2.14-2.17 / BASELINE.md):
 
 1. ``block_sdp_512x16``  — 512 PSD blocks of side 16, n=512 (many small
-   cliques; dense Cholesky KKT; the auto-resolved projection backend, plus
-   a Pallas-kernel variant as its own shape).  This is the headline metric,
-   identical to round 1 for comparability.
+   cliques; cached dense-KKT inverse apply; the auto-resolved projection
+   backend, plus a Pallas-kernel variant as its own shape).  This is the
+   headline metric; the problem is identical to round 1.  From round 4 A is
+   stored block-dense (ops/linops.Bde — the TPU-native layout of this
+   block-structured matrix; a ``_denseA`` row keeps the old storage for
+   cross-round comparability) and the fixed solve is 1000 iterations
+   (round <= 3 used 200, where the ~50-90 ms axon dispatch overhead was
+   ~40% of the measurement).
 2. ``block_sdp_8x256``   — 8 PSD blocks of side 256, n=256 (large blocks;
    Newton-Schulz polar projection path on the MXU).
 3. ``maxcut_2000_sparse``— chordally decomposed 2000-node maxcut (sparse
@@ -37,8 +42,11 @@ import numpy as np
 N_BLOCKS = 512
 SIDE = 16
 NVAR = 512
-ITERS = 200
-BASE_ITERS = 200
+ITERS = 1000       # fixed solve length: long enough that the ~50-90 ms
+                   # axon dispatch+fetch overhead is <10% of the measurement
+                   # (round <= 3 used 200, where it was ~40%: same slope,
+                   # lower reported iter/s)
+BASE_ITERS = 200   # CPU baseline length (per-iteration cost is flat there)
 RHO = 0.1
 SIGMA = 1e-6
 ALPHA = 1.6
@@ -96,7 +104,8 @@ def _proj_flops_per_iter(cones):
     for bkt in cones.psd_buckets:
         B = bkt.gather_idx.shape[0]
         k = bkt.side
-        if cones.eigh_backend == "polar":
+        backend = getattr(bkt, "backend", "") or cones.eigh_backend
+        if backend == "polar":
             # quintic-phase Newton-Schulz: ~40 [k,k]@[k,k] matmuls/block
             total += B * 40 * 2 * k**3
         elif cones.eigh_backend == "pallas":
@@ -108,17 +117,25 @@ def _proj_flops_per_iter(cones):
     return total
 
 
-def _kkt_flops_per_iter(m, n, refine_steps):
-    """Dense cached-Cholesky solve: 2 triangular solves (2n^2 each) +
-    A matvec/rmatvec (2mn each); each refinement step adds the compensated
-    matvec (~8x a plain one in VPU flops) and another solve pair."""
-    base = 2 * 2 * n * n + 2 * 2 * m * n
-    per_refine = 2 * 2 * n * n + 8 * (2 * m * n + 2 * n * n)
+def _kkt_flops_per_iter(m, n, refine_steps, bde=None):
+    """Cached dense-KKT apply (one [n,n] inverse matvec = 2n^2) +
+    A matvec/rmatvec; each refinement step adds the compensated
+    matvec (~8x a plain one in VPU flops) and another apply.
+    For block-dense A the matvec pair is the batched slab products plus the
+    two selection matmuls (ops/linops.Bde)."""
+    if bde is not None:
+        G, rb, cmax = bde.G, bde.rb, bde.cmax
+        mv_pair = 2 * (2 * G * rb * cmax) + 2 * (2 * G * cmax * n)
+    else:
+        mv_pair = 2 * 2 * m * n
+    base = 2 * n * n + mv_pair
+    per_refine = 2 * n * n + 8 * (mv_pair + 2 * n * n)
     return base + refine_steps * per_refine
 
 
 def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto",
-                     refine_steps=-1, mixed_precision=False):
+                     refine_steps=-1, mixed_precision=False,
+                     a_format="bde"):
     import jax
     import jax.numpy as jnp
 
@@ -152,7 +169,24 @@ def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto",
     # block_sdp has no rho_eq-amplified rows, so auto refinement is off
     static, dyn = split_settings(settings, m, n, dtype, refine_hint=False)
 
-    Pd, Ad, qd, bd = (jnp.asarray(v, dtype) for v in (P, A, q, b))
+    Pd, qd, bd = (jnp.asarray(v, dtype) for v in (P, q, b))
+    if a_format == "bde":
+        # block-dense rows + selection matmuls (ops/linops.Bde): the
+        # TPU-native storage of this block-structured A — the dense [m, n]
+        # HBM panel read was the top per-iteration cost (414 us of 673)
+        import scipy.sparse as sp
+
+        from cosmo_tpu.ops import linops
+        from cosmo_tpu.problems import tri_dim
+
+        Ad = linops.bde_from_scipy(sp.csr_matrix(A), rb=tri_dim(side))
+        assert Ad is not None
+        Ad = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v, dtype)
+            if np.issubdtype(np.asarray(v).dtype, np.floating)
+            else jnp.asarray(v), Ad)
+    else:
+        Ad = jnp.asarray(A, dtype)
     x0 = jnp.zeros(n, dtype)
     s0 = jnp.zeros(m, dtype)
     mu0 = jnp.zeros(m, dtype)
@@ -176,8 +210,11 @@ def _bench_block_sdp(n_blocks, side, nvar, label, eigh_backend="auto",
         rep_ips.append(iters / (time.perf_counter() - t0))
     ips = max(rep_ips)
 
+    from cosmo_tpu.ops.linops import Bde as _Bde
+
     flops = _proj_flops_per_iter(cones) + _kkt_flops_per_iter(
-        m, n, static.kkt_refine_steps
+        m, n, static.kkt_refine_steps,
+        bde=Ad if isinstance(Ad, _Bde) else None,
     )
     return dict(
         label=label, iters_per_s=round(ips, 2),
@@ -294,6 +331,9 @@ def _bench_northstar(seeds=3, nodes=10_000, time_budget_s=1200.0):
 
 def main():
     s1 = _bench_block_sdp(N_BLOCKS, SIDE, NVAR, "block_sdp_512x16")
+    s1d = _bench_block_sdp(N_BLOCKS, SIDE, NVAR, "block_sdp_512x16_denseA",
+                           a_format="dense")
+    s1d.pop("problem")
     P, q, A, b, sets = s1.pop("problem")
     base_ips = _numpy_baseline(P, q, A, b, N_BLOCKS, SIDE, BASE_ITERS)
 
@@ -319,7 +359,7 @@ def main():
     s1["cpu_baseline_iters_per_s"] = round(base_ips, 2)
     s1["vs_baseline"] = round(s1["iters_per_s"] / base_ips, 3)
 
-    shapes = [s1, s1r, s1p, s2, s2m, s3]
+    shapes = [s1, s1d, s1r, s1p, s2, s2m, s3]
     if os.environ.get("COSMO_BENCH_NORTHSTAR", "1") != "0":
         shapes.append(_bench_northstar())
 

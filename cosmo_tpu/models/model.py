@@ -9,6 +9,7 @@ data and unpacks device results.
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import List, Optional, Sequence, Union
 
@@ -385,9 +386,36 @@ class Model:
                         max_block=int(settings.kkt_block_max),
                     )
                     self._blockkkt_cache = (bk_key, kkt_block)
+            # Coupled-column sparse problems (no blockkkt decoupling) whose
+            # rows come in uniform per-cone blocks over small column subsets
+            # take block-dense row storage + the cached dense-KKT inverse
+            # apply (ops/linops.Bde) instead of matrix-free CG: the batched
+            # slab products + selection matmuls ride the MXU where the Coo
+            # segment-sum SpMV is gather-bound (single-device only; the
+            # sharded path keeps the nnz-sharded Coo).
+            bde = None
+            if (
+                use_sparse and kkt_block is None and mesh is None
+                and isinstance(settings.kkt_solver, str)
+                and settings.kkt_solver == KKT_DENSE
+                and n <= 2048
+            ):
+                dims = {s.dim for s in sets}
+                if len(dims) == 1:
+                    bde = linops.bde_from_scipy(sp.csr_matrix(A),
+                                                rb=dims.pop())
             if use_sparse:
-                Pd = linops.coo_from_scipy(sp.csr_matrix(P), dtype)
-                Ad = linops.coo_from_scipy(sp.csr_matrix(A), dtype)
+                if bde is not None:
+                    # dense_factor adds P + sigma I elementwise: densify the
+                    # (small, n <= 2048) quadratic term
+                    Pd = jnp.asarray(_to_dense(P), dtype)
+                    Ad = jax.tree_util.tree_map(
+                        lambda v: jnp.asarray(v, dtype)
+                        if np.issubdtype(np.asarray(v).dtype, np.floating)
+                        else jnp.asarray(v), bde)
+                else:
+                    Pd = linops.coo_from_scipy(sp.csr_matrix(P), dtype)
+                    Ad = linops.coo_from_scipy(sp.csr_matrix(A), dtype)
             else:
                 Pd = jnp.asarray(_to_dense(P), dtype)
                 Ad = jnp.asarray(_to_dense(A), dtype)
@@ -416,6 +444,8 @@ class Model:
         if kkt_block is not None or (
             use_sparse and isinstance(settings.kkt_solver, str)
             and settings.kkt_solver in (KKT_DENSE, KKT_BLOCK)
+            # block-dense rows keep the requested dense KKT (inverse apply)
+            and not isinstance(Ad, linops.Bde)
         ):
             settings = settings.replace(
                 kkt_solver=KKT_BLOCK if kkt_block is not None else KKT_CG
@@ -737,7 +767,8 @@ def _measure_phase_times(self, times, Pd, Ad, qd, bd, cones, dyn, static,
             st, Pd, Ad, dyn.sigma, rho_vec, r1, r2))
         t_solve = timed(solve_fn, st, jnp.zeros(n, dtype) + 1.0, w2)
     elif static.kkt_solver == KKT_DENSE:
-        factor_fn = jax.jit(kkt_ops.dense_factor)
+        factor_fn = jax.jit(functools.partial(
+            kkt_ops.dense_factor, use_inverse=static.accel_mem == 0))
         t_factor = timed(factor_fn, Pd, Ad, dyn.sigma, rho_vec)
         times.init_factor_time = t_factor
         times.factor_update_time = t_factor * n_rho

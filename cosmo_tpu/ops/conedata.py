@@ -93,6 +93,15 @@ class PsdBucket:
     #    Measured at [8,256,256]: 3.88 -> 0.38 ms expand, 2.99 -> 0.37 ms
     #    compress vs the scalar-index maps.
     fastpath: str = static_field(default="none")   # "none"|"matmul"|"shear"
+    # per-bucket eigh backend override ("" = use the ConeData-global one).
+    # "auto" resolution gives the single dominant small-k large-batch bucket
+    # the Pallas Jacobi kernel and everyone else polar: at [1729, 8, 8] the
+    # kernel measured 88 us vs polar's 1099, but a 9-block k=24 bucket pays
+    # the kernel's fixed 128-slab cost (276 us vs 2 for polar). At most ONE
+    # pallas instantiation per program — the regime the headline bench has
+    # exercised for rounds (mixed pallas shapes have faulted the TPU worker
+    # before).
+    backend: str = static_field(default="")
     contig_start: int = static_field(default=-1)   # v offset of the bucket
     tri_len: int = static_field(default=0)          # tri_dim(r0)
     r0: int = static_field(default=0)               # real (uniform) side
@@ -540,7 +549,32 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             tol=np.zeros((0,), dtype),
         )
 
+    requested = eigh_backend
     eigh_backend = resolve_eigh_backend(eigh_backend, psd_bucket_objs, accel_on)
+    if (
+        requested == "auto"
+        and eigh_backend == "polar"
+        and not accel_on
+        and len(psd_bucket_objs) > 1
+    ):
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # multi-bucket plain-ADMM solves: give the single dominant
+            # small-k large-batch bucket the Pallas kernel (see
+            # PsdBucket.backend) — decomposed SDPs concentrate most blocks
+            # in one small-side bucket (maxcut-2000: [1729, 8] dominates
+            # the projection at 1105 of 1631 us under polar)
+            cand = [
+                (b.gather_idx.shape[0] * b.side**3, i)
+                for i, b in enumerate(psd_bucket_objs)
+                if b.side <= 16 and b.gather_idx.shape[0] >= 256
+            ]
+            if cand:
+                _, i_star = max(cand)
+                psd_bucket_objs[i_star] = dataclasses.replace(
+                    psd_bucket_objs[i_star], backend="pallas"
+                )
 
     return ConeData(
         m=m,

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .linops import Coo
+from .linops import Bde, Coo
 
 # Dekker splitting constant for binary32 (24-bit significand): 2^12 + 1.
 _SPLIT_F32 = 4097.0
@@ -148,6 +148,14 @@ def matvec2(A, x_pair):
         p, e = two_prod(A.vals, xh[A.cols])
         e = e + A.vals * xl[A.cols]
         return _segment_sum_df32(p, e, A.row_ptr, A.max_row_nnz)
+    if isinstance(A, Bde):
+        from .linops import _ext0
+
+        xg = _ext0(xh)[A.cols][:, None, :]          # [G, 1, cmax]
+        p, e = two_prod(A.vals, xg)
+        e = e + A.vals * _ext0(xl)[A.cols][:, None, :]
+        hi, lo = _pairwise_sum(p, e, axis=2)        # [G, rb] pairs
+        return hi.reshape(A.m), lo.reshape(A.m)
     p, e = two_prod(A, xh[None, :])
     e = e + A * xl[None, :]
     return _pairwise_sum(p, e, axis=1)
@@ -160,6 +168,18 @@ def rmatvec2(A, y_pair):
         p, e = two_prod(A.cvals, yh[A.crows])
         e = e + A.cvals * yl[A.crows]
         return _segment_sum_df32(p, e, A.col_ptr, A.max_col_nnz)
+    if isinstance(A, Bde):
+        # per-group compensated row reductions, then a compensated sorted
+        # segment sum over the column-sorted (group, lane) entries
+        p, e = two_prod(A.vals, yh.reshape(A.G, A.rb, 1))
+        e = e + A.vals * yl.reshape(A.G, A.rb, 1)
+        hi, lo = _pairwise_sum(
+            jnp.swapaxes(p, 1, 2), jnp.swapaxes(e, 1, 2), axis=2
+        )                                            # [G, cmax] pairs
+        ph = hi.reshape(-1)[A.csort_perm]
+        pl = lo.reshape(-1)[A.csort_perm]
+        sh, sl = _segment_sum_df32(ph, pl, A.col_ptr, A.max_col_nnz)
+        return sh[: A.n], sl[: A.n]
     p, e = two_prod(A.T, yh[None, :])
     e = e + A.T * yl[None, :]
     return _pairwise_sum(p, e, axis=1)

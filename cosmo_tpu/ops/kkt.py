@@ -32,23 +32,53 @@ from jax import lax
 import dataclasses
 
 from . import df32
-from .linops import diag_AtRhoA, diag_part, matvec, rmatvec
+from .linops import AtRhoA, diag_AtRhoA, diag_part, matvec, rmatvec
 from ..utils.pytrees import register_pytree_dataclass, static_field
 
 
 class DenseKKTState(NamedTuple):
     L: jnp.ndarray  # [n, n] lower Cholesky factor of M
+    Minv: Any       # [n, n] explicit M^-1 = L^-T L^-1 (f32 only), or ()
 
 
-def dense_factor(P, A, sigma, rho_vec) -> DenseKKTState:
+def dense_factor(P, A, sigma, rho_vec, use_inverse: bool = False) -> DenseKKTState:
     n = P.shape[0]
-    M = P + sigma * jnp.eye(n, dtype=P.dtype) + A.T @ (rho_vec[:, None] * A)
-    return DenseKKTState(L=jnp.linalg.cholesky(M))
+    M = P + sigma * jnp.eye(n, dtype=P.dtype) + AtRhoA(A, rho_vec)
+    L = jnp.linalg.cholesky(M)
+    if M.dtype != jnp.float32 or not use_inverse:
+        # backward-stable triangular solves — the default, and always the
+        # choice in f64 (the CPU/reference-parity mode): the explicit
+        # inverse's kappa*eps forward error measurably shifts Anderson
+        # trajectories (banded-40 dense SDP went 4k -> 7k iters in f64),
+        # and f64 has no per-iteration-latency case.
+        return DenseKKTState(L=L, Minv=())
+    # f32 + plain ADMM (the fixed-iteration TPU throughput path):
+    # apply-by-inverse — the per-iteration solve is ONE [n,n] matvec on the
+    # MXU instead of two sequential triangular solves (measured 80 us ->
+    # ~8 us at n=512; triangular solves serialize on the diagonal). The
+    # inverse is formed from the Cholesky factor (L^-T L^-1, SPD-stable).
+    # Callers must pass use_inverse=True ONLY when the Anderson accelerator
+    # is off: the inverse apply's deterministic ~1e-5-relative error floor
+    # destabilizes safeguarded AA the same way the Pallas Jacobi kernel's
+    # floor does (conedata.resolve_eigh_backend) — measured: a 36-var
+    # min-eig SDP with a rho_eq row pins at rp ~ 0.13 under AA+inverse
+    # (safeguard toggles forever, never strikes) yet solves in 102 iters
+    # with triangular solves and in 325 with inverse+plain-ADMM.
+    eye = jnp.eye(n, dtype=P.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Minv = Linv.T @ Linv
+    return DenseKKTState(L=L, Minv=0.5 * (Minv + Minv.T))
 
 
 def _chol_solve(L, t):
     y = jax.scipy.linalg.solve_triangular(L, t, lower=True)
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def _kkt_apply(state: DenseKKTState, t):
+    if isinstance(state.Minv, tuple):
+        return _chol_solve(state.L, t)
+    return state.Minv @ t
 
 
 def dense_solve(state: DenseKKTState, P, A, sigma, rho_vec, r1, r2,
@@ -64,13 +94,13 @@ def dense_solve(state: DenseKKTState, P, A, sigma, rho_vec, r1, r2,
     """
     if refine_steps <= 0:
         t = r1 + rmatvec(A, rho_vec * r2)
-        x = _chol_solve(state.L, t)
+        x = _kkt_apply(state, t)
     else:
         t_pair = df32.kkt_rhs2(A, rho_vec, r1, r2)
-        x_pair = df32.promote(_chol_solve(state.L, t_pair[0]))
+        x_pair = df32.promote(_kkt_apply(state, t_pair[0]))
         for _ in range(refine_steps):
             r = df32.kkt_residual_pair(P, A, sigma, rho_vec, t_pair, x_pair)
-            x_pair = df32.add(x_pair, df32.promote(_chol_solve(state.L, r)))
+            x_pair = df32.add(x_pair, df32.promote(_kkt_apply(state, r)))
         x = df32.to_f32(x_pair)
     nu = rho_vec * (matvec(A, x) - r2)
     return x, nu

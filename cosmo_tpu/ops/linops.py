@@ -104,8 +104,136 @@ def coo_from_scipy(A, dtype) -> Coo:
     )
 
 
+@register_pytree_dataclass
+@dataclasses.dataclass(frozen=True)
+class Bde:
+    """Block-dense rows: G contiguous groups of ``rb`` rows, each group
+    touching at most ``cmax`` columns — the natural storage of constraint
+    matrices whose rows come in per-cone blocks over small column subsets
+    (every block-structured SDP: one clique block = tri(k) rows over the
+    clique's columns).
+
+    TPU-native rationale: a dense [m, n] matvec reads the full m*n f32
+    panel from HBM every iteration (the measured top per-iteration cost of
+    the headline bench: 414 us of a 673 us iteration at [69632, 512]), and
+    an unstructured Coo SpMV is gather-bound (XLA TPU gathers run at a few
+    elements/cycle). Block-dense rows replace both with ONE small structured
+    gather ``x[cols]`` per group plus a batched [rb, cmax] @ [cmax] matmul —
+    MXU work over G*rb*cmax values instead of m*n.
+
+    ``cols`` is padded with the dump column ``n`` (reads 0, scatters fold
+    into a sliced-off slot). ``ccols_sorted``/``csort_perm``/``col_ptr``
+    give the column-sorted view of the (group, lane) entries for the
+    transpose scatter and the compensated df32 reductions.
+    """
+
+    m: int = static_field()
+    n: int = static_field()
+    rb: int = static_field()            # rows per group
+    cmax: int = static_field()          # padded columns per group
+    vals: Any = None                    # dtype [G, rb, cmax]
+    vals_t: Any = None                  # dtype [G, cmax, rb] (transpose copy:
+                                        # both matvec orientations then reduce
+                                        # over their MINOR axis — reducing the
+                                        # middle axis forced a 7 MB transpose
+                                        # per rmatvec, measured ~100 us)
+    cols: Any = None                    # int32 [G, cmax], dump = n
+    ccols_sorted: Any = None            # int32 [G*cmax] sorted ascending
+    csort_perm: Any = None              # int32 [G*cmax] into (g*cmax + c)
+    col_ptr: Any = None                 # int32 [n+2] (n+1 segments, dump last)
+    max_col_nnz: int = static_field(default=0)
+    # ELL transpose map: ell_idx[j, l] indexes the flat [G*cmax] per-column
+    # partials (G*cmax = one appended zero slot for padding), so the
+    # transpose reduction is one static-shape gather + a dense sum instead
+    # of a scatter (the sorted segment-sum lowers to a scatter on TPU and
+    # measured 200 us at [512 groups, 25 cols])
+    ell_idx: Any = None                 # int32 [n, max_col_nnz]
+    # Selection matmul (preferred when its panel fits the budget): one-hot
+    # sel[k, j] = 1 iff flat entry k = g*cmax + c has cols[g, c] = j (dump
+    # rows all-zero). XLA TPU gathers run BELOW one element/cycle here
+    # (measured: the [512, 40] ELL gather+sum 138 us, the [512, 25] x-gather
+    # 55 us, each over <= 26 KB of payload), while the same selections as
+    # MXU matmuls are HBM-bound on the sel panel (~32 us at 26 MB): both
+    # matvec orientations use this one panel, transposed for the scatter.
+    sel: Any = None                     # dtype [G*cmax, n] or None
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.m, self.n)
+
+    @property
+    def G(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+
+def bde_from_scipy(A, rb: int, max_cmax: int | None = None,
+                   sel_budget_bytes: int = 64 << 20) -> "Bde | None":
+    """Build a :class:`Bde` from a scipy sparse matrix whose rows decompose
+    into ``m / rb`` contiguous groups (host side). Returns None when the
+    structure doesn't fit: ``rb`` doesn't divide m, or some group touches
+    more than ``max_cmax`` columns (default: storage capped at ~1/4 of the
+    dense panel, where the bandwidth win evaporates)."""
+    import scipy.sparse as sp
+
+    Ac = sp.csr_matrix(A)
+    m, n = Ac.shape
+    if rb <= 0 or m % rb != 0:
+        return None
+    G = m // rb
+    indptr, indices, data = Ac.indptr, Ac.indices, Ac.data
+    col_lists = []
+    cmax = 0
+    for g in range(G):
+        s, e = indptr[g * rb], indptr[(g + 1) * rb]
+        u = np.unique(indices[s:e])
+        col_lists.append(u)
+        cmax = max(cmax, u.size)
+    if cmax == 0:
+        cmax = 1
+    limit = max_cmax if max_cmax is not None else max(1, n // 4)
+    if cmax > limit:
+        return None
+    cols = np.full((G, cmax), n, dtype=np.int32)
+    vals = np.zeros((G, rb, cmax), dtype=data.dtype if data.size else np.float64)
+    for g, u in enumerate(col_lists):
+        cols[g, : u.size] = u
+        blk = Ac[g * rb : (g + 1) * rb, :][:, u].toarray()
+        vals[g, :, : u.size] = blk
+    flat_cols = cols.reshape(-1)
+    perm = np.argsort(flat_cols, kind="stable").astype(np.int32)
+    scols = flat_cols[perm]
+    col_ptr, w_c = segment_ptr(scols, n + 1)
+    w = max(int(np.max(col_ptr[1 : n + 1] - col_ptr[:n])) if n else 0, 1)
+    ell = np.full((n, w), G * cmax, dtype=np.int32)   # pad -> zero slot
+    for j in range(n):
+        s, e = col_ptr[j], col_ptr[j + 1]
+        ell[j, : e - s] = perm[s:e]
+    sel = None
+    if G * cmax * n * vals.itemsize <= sel_budget_bytes:
+        sel = np.zeros((G * cmax, n), dtype=vals.dtype)
+        valid = flat_cols < n
+        sel[np.flatnonzero(valid), flat_cols[valid]] = 1.0
+    return Bde(
+        m=m, n=n, rb=rb, cmax=cmax,
+        vals=vals, vals_t=np.ascontiguousarray(np.swapaxes(vals, 1, 2)),
+        cols=cols,
+        ccols_sorted=scols.astype(np.int32),
+        csort_perm=perm, col_ptr=col_ptr, max_col_nnz=w_c,
+        ell_idx=ell, sel=sel,
+    )
+
+
+def _ext0(x):
+    """x with one appended zero (the Bde dump-column read slot)."""
+    return jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+
+
 def is_sparse(A) -> bool:
-    return isinstance(A, Coo)
+    return isinstance(A, (Coo, Bde))
 
 
 # ----------------------------------------------------------------------
@@ -119,6 +247,12 @@ def matvec(A, x):
             A.vals * x[A.cols], A.rows, num_segments=A.m,
             indices_are_sorted=True,
         )
+    if isinstance(A, Bde):
+        if A.sel is not None:
+            xg = (A.sel @ x).reshape(A.G, A.cmax)
+        else:
+            xg = _ext0(x)[A.cols]                   # [G, cmax]
+        return jnp.einsum("grc,gc->gr", A.vals, xg).reshape(A.m)
     return A @ x
 
 
@@ -129,6 +263,11 @@ def rmatvec(A, y):
             A.cvals * y[A.crows], A.ccols, num_segments=A.n,
             indices_are_sorted=True,
         )
+    if isinstance(A, Bde):
+        t = jnp.einsum("gcr,gr->gc", A.vals_t, y.reshape(A.G, A.rb))
+        if A.sel is not None:
+            return t.reshape(-1) @ A.sel
+        return jnp.sum(_ext0(t.reshape(-1))[A.ell_idx], axis=1)
     return A.T @ y
 
 
@@ -152,6 +291,9 @@ def colmax_abs(A):
             ),
             0.0,
         )
+    if isinstance(A, Bde):
+        t = jnp.max(jnp.abs(A.vals), axis=1)        # [G, cmax]
+        return jnp.max(_ext0(t.reshape(-1))[A.ell_idx], axis=1)
     if A.shape[0] == 0:
         return jnp.zeros(A.shape[1], A.dtype)
     return jnp.max(jnp.abs(A), axis=0)
@@ -167,6 +309,8 @@ def rowmax_abs(A):
             ),
             0.0,
         )
+    if isinstance(A, Bde):
+        return jnp.max(jnp.abs(A.vals), axis=2).reshape(A.m)
     if A.shape[1] == 0:
         return jnp.zeros(A.shape[0], A.dtype)
     return jnp.max(jnp.abs(A), axis=1)
@@ -180,6 +324,14 @@ def scale_rows_cols(A, ew, dw):
             vals=A.vals * ew[A.rows] * dw[A.cols],
             cvals=A.cvals * ew[A.crows] * dw[A.ccols],
         )
+    if isinstance(A, Bde):
+        ewg = ew.reshape(A.G, A.rb)
+        dwg = _ext0(dw)[A.cols]
+        return dataclasses.replace(
+            A,
+            vals=A.vals * ewg[:, :, None] * dwg[:, None, :],
+            vals_t=A.vals_t * ewg[:, None, :] * dwg[:, :, None],
+        )
     return ew[:, None] * A * dw[None, :]
 
 
@@ -188,6 +340,11 @@ def scale_rows(A, ew):
         return dataclasses.replace(
             A, vals=A.vals * ew[A.rows], cvals=A.cvals * ew[A.crows]
         )
+    if isinstance(A, Bde):
+        ewg = ew.reshape(A.G, A.rb)
+        return dataclasses.replace(
+            A, vals=A.vals * ewg[:, :, None], vals_t=A.vals_t * ewg[:, None, :]
+        )
     return ew[:, None] * A
 
 
@@ -195,6 +352,8 @@ def scale_all(A, c):
     """c * A with a scalar c."""
     if isinstance(A, Coo):
         return dataclasses.replace(A, vals=A.vals * c, cvals=A.cvals * c)
+    if isinstance(A, Bde):
+        return dataclasses.replace(A, vals=A.vals * c, vals_t=A.vals_t * c)
     return A * c
 
 
@@ -225,4 +384,29 @@ def diag_AtRhoA(A, rho_vec):
             rho_vec[A.crows] * A.cvals * A.cvals, A.ccols, num_segments=A.n,
             indices_are_sorted=True,
         )
+    if isinstance(A, Bde):
+        t = jnp.einsum(
+            "grc,gr,grc->gc", A.vals, rho_vec.reshape(A.G, A.rb), A.vals
+        )
+        return jnp.sum(_ext0(t.reshape(-1))[A.ell_idx], axis=1)
     return jnp.sum(rho_vec[:, None] * A * A, axis=0)
+
+
+def AtRhoA(A, rho_vec):
+    """Dense n x n assembly of A' diag(rho) A — the reduced-KKT Gram matrix
+    the cached dense Cholesky factors (ops/kkt.dense_factor). For
+    :class:`Bde` this is G batched [cmax, cmax] Gram blocks scatter-added
+    into the dense panel instead of an O(m n^2) dense triple product."""
+    if isinstance(A, Bde):
+        C = jnp.einsum(
+            "grc,gr,grd->gcd", A.vals, rho_vec.reshape(A.G, A.rb), A.vals
+        )
+        Mext = jnp.zeros((A.n + 1, A.n + 1), A.vals.dtype)
+        Mext = Mext.at[A.cols[:, :, None], A.cols[:, None, :]].add(C)
+        return Mext[: A.n, : A.n]
+    if isinstance(A, Coo):
+        raise NotImplementedError(
+            "dense KKT with Coo A is unsupported — use Bde (block-dense "
+            "rows), a dense A, or the blockdiag/CG solvers"
+        )
+    return A.T @ (rho_vec[:, None] * A)

@@ -84,7 +84,7 @@ def _psd_gather(v_ext, bucket: PsdBucket):
     return X
 
 
-def _psd_project_bucket(X, cones: ConeData, loose=None):
+def _psd_project_bucket(X, cones: ConeData, loose=None, bucket=None):
     """Batched PSD projection: eig + positive-part reconstruction
     (reference: convexset.jl:219-263). [B, k, k] -> [B, k, k].
 
@@ -99,8 +99,13 @@ def _psd_project_bucket(X, cones: ConeData, loose=None):
 
     # "auto" is normally resolved once in compile_cones (which sees all
     # buckets); direct callers with hand-built ConeData get the conservative
-    # resolution (never the Pallas kernel) from the same shared function
+    # resolution (never the Pallas kernel) from the same shared function.
+    # A per-bucket override (PsdBucket.backend — compile_cones gives the
+    # dominant small-k bucket of a multi-bucket plain-ADMM solve the Pallas
+    # kernel) wins over the global string.
     backend = resolve_eigh_backend(cones.eigh_backend)
+    if bucket is not None and getattr(bucket, "backend", ""):
+        backend = bucket.backend
     if backend == "polar":
         if loose is None:
             return eigh_mod.psd_project_polar(X)
@@ -169,7 +174,7 @@ def project(w2, cones: ConeData, eig_state=(), loose=None):
             )
             new_state.append(V)
         else:
-            Y = _psd_project_bucket(X, cones, loose)
+            Y = _psd_project_bucket(X, cones, loose, bucket)
         if bucket.fastpath == "matmul":
             B = bucket.gather_idx.shape[0]
             T = (Y.reshape(B, bucket.side * bucket.side) @ bucket.compress)

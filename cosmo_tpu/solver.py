@@ -108,7 +108,7 @@ class LoopCarry(NamedTuple):
     kkt_iters: Any         # int32: accumulated inner CG/MINRES iterations
     n_rho_adapt: Any
     rho_log: Any           # [RHO_LOG_LEN]
-    hist: Any              # [res_hist, 5] residual-history ring or ()
+    hist: Any              # [res_hist, 6] residual-history ring or ()
     hist_n: Any            # int32: rows ever written to the ring
     aa: Any                # AccelState or ()
     eig: Any               # per-PSD-bucket eigenbasis carry (amortized) or ()
@@ -190,7 +190,14 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
     # periodic residual measurements ride the compensated matvecs whenever
     # the KKT refinement is active: in f32 the plain measurement noise feeds
-    # the rho adaptation and can drive a limit cycle near convergence
+    # the rho adaptation and can drive a limit cycle near convergence.
+    # They follow the RUNTIME refine latch (lax.cond below), not the static
+    # config: before the endgame latch trips, plain-f32 measurements are
+    # exactly as meaningful (the same reasoning that gates the refinement
+    # itself), and a compensated residual pass over a 100k-row decomposed
+    # problem measured ~26 ms per check — 1.06 ms/iter at check interval 25,
+    # 30% of maxcut-2000 throughput — for precision the pre-endgame rho
+    # adaptation cannot use
     compensated_res = static.kkt_refine_steps > 0
     # endgame gate: KKT solves run plain f32 while relative residuals sit
     # above kkt_refine_switch (inexact-ADMM tolerates solve error below the
@@ -210,7 +217,10 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # user plug-in (reference: AbstractKKTSolver, kktsolver.jl:5-11)
         kkt_state = static.kkt_solver.setup(P, A, dyn.sigma, rho_vec)
     elif use_dense:
-        kkt_state = kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec)
+        # the explicit-inverse apply is plain-ADMM-only (see dense_factor:
+        # its deterministic apply-error floor destabilizes safeguarded AA)
+        kkt_state = kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec,
+                                         use_inverse=static.accel_mem == 0)
     elif use_block:
         kkt_state = blockkkt.factor(kkt_block, P, A, dyn.sigma, rho_vec,
                                     build_pair=static.kkt_refine_steps > 0)
@@ -221,7 +231,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         if custom_kkt:
             return static.kkt_solver.setup(P, A, dyn.sigma, rho_vec)
         if use_dense:
-            return kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec)
+            return kkt_ops.dense_factor(P, A, dyn.sigma, rho_vec,
+                                        use_inverse=static.accel_mem == 0)
         if use_block:
             return blockkkt.factor(kkt_block, P, A, dyn.sigma, rho_vec,
                                     build_pair=static.kkt_refine_steps > 0)
@@ -358,7 +369,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             kkt_iters=kkt_it0,
             n_rho_adapt=jnp.zeros((), jnp.int32),
             rho_log=rho_log,
-            hist=(jnp.zeros((static.res_hist, 5), dtype)
+            hist=(jnp.zeros((static.res_hist, 6), dtype)
                   if static.res_hist > 0 else ()),
             hist_n=jnp.zeros((), jnp.int32),
             aa=aa0,
@@ -368,17 +379,29 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     # ------------------------------------------------------------------
     # rho adaptation (reference: solver.jl:242-282, parameters.jl:53-92)
     # ------------------------------------------------------------------
-    def adapt_rho(c: LoopCarry) -> LoopCarry:
-        mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
-        x_k = c.w_prev[:n]
+    def _rho_residuals(c, x_k, mu_k, comp: bool):
         rp, rd = res_ops.calculate_residuals(
             P, A, q, b, x_k, c.s, mu_k, sm, ignore_scaling=True,
-            compensated=compensated_res,
+            compensated=comp,
         )
         mp, md = res_ops.max_res_component_norm(
             P, A, q, b, x_k, c.s, mu_k, sm, ignore_scaling=True,
-            compensated=compensated_res,
+            compensated=comp,
         )
+        return rp, rd, mp, md
+
+    def adapt_rho(c: LoopCarry) -> LoopCarry:
+        mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
+        x_k = c.w_prev[:n]
+        if compensated_res:
+            rp, rd, mp, md = lax.cond(
+                c.refine_on,
+                lambda _: _rho_residuals(c, x_k, mu_k, True),
+                lambda _: _rho_residuals(c, x_k, mu_k, False),
+                None,
+            )
+        else:
+            rp, rd, mp, md = _rho_residuals(c, x_k, mu_k, False)
         rp = rp / (mp + 1e-10)
         rd = rd / (md + 1e-10)
         new_rho = c.rho * jnp.sqrt(rp / (rd + 1e-10))
@@ -421,11 +444,25 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     # ------------------------------------------------------------------
     # termination / infeasibility checks (solver.jl:303-356)
     # ------------------------------------------------------------------
+    def _result_info_rt(c: LoopCarry, x_k, s, mu_k):
+        """result_info with the compensated matvecs gated on the RUNTIME
+        refine latch (see the compensated_res comment above)."""
+        if not compensated_res:
+            return res_ops.result_info(P, A, q, b, x_k, s, mu_k, sm,
+                                       compensated=False)
+        return lax.cond(
+            c.refine_on,
+            lambda _: res_ops.result_info(P, A, q, b, x_k, s, mu_k, sm,
+                                          compensated=True),
+            lambda _: res_ops.result_info(P, A, q, b, x_k, s, mu_k, sm,
+                                          compensated=False),
+            None,
+        )
+
     def check_termination(c: LoopCarry) -> LoopCarry:
         mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
         x_k = c.w_prev[:n]
-        info = res_ops.result_info(P, A, q, b, x_k, c.s, mu_k, sm,
-                                   compensated=compensated_res)
+        info = _result_info_rt(c, x_k, c.s, mu_k)
         cost = res_ops.calculate_cost(P, q, x_k, sm.cinv)
 
         status = c.status
@@ -446,12 +483,22 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         if refine_gated:
             # one-way latch into the refined endgame; the stagnation
             # fallback (4 checks without a 5% residual-score improvement)
-            # covers problems whose plain-f32 floor sits above the switch
+            # covers problems whose plain-f32 floor sits above the switch.
+            # The fallback only fires NEAR the switch (rel < 50x): a
+            # plain-f32 forward-error floor sits a small factor above it
+            # (~kappa*eps relative), while a transient plateau at rel ~ 0.1
+            # is ordinary ADMM dynamics — tripping there latched entire
+            # solves into ~3x-cost refined iterations (measured: north-star
+            # seed 0 ran 9,150 iters at 23 iter/s vs the 56 of its siblings,
+            # a 4.3x time tail from one early 4-check plateau)
             score = rel
             stall = jnp.where(
                 score < 0.95 * c.ref_best, 0, c.ref_stall + 1
             )
-            trip = ((rel < dyn.kkt_refine_switch) | (stall >= 4)) & ~c.refine_on
+            near_switch = rel < 50.0 * dyn.kkt_refine_switch
+            trip = (
+                (rel < dyn.kkt_refine_switch) | ((stall >= 4) & near_switch)
+            ) & ~c.refine_on
             c = c._replace(
                 refine_on=c.refine_on | trip,
                 ref_stall=jnp.where(c.refine_on, 0, stall),
@@ -471,11 +518,12 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             # device-side residual history (the on-TPU observability path —
             # host callbacks abort on the axon relay, so verbose rows print
             # host-side from this ring after each dispatch chunk;
-            # reference rows: printing.jl:38-48)
+            # reference rows: printing.jl:38-48). The 6th column records the
+            # endgame-refine latch so latch timing is observable post-hoc.
             slot = jnp.mod(c.hist_n, static.res_hist)
             row = jnp.stack([
                 c.iter.astype(cost.dtype), cost, info.r_prim, info.r_dual,
-                c.rho,
+                c.rho, c.refine_on.astype(cost.dtype),
             ])
             c = c._replace(hist=c.hist.at[slot].set(row), hist_n=c.hist_n + 1)
         if static.mixed_precision:
@@ -942,8 +990,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     x_final = c.w_prev[:n]
 
     def finalize_maxiter(c: LoopCarry) -> LoopCarry:
-        info = res_ops.result_info(P, A, q, b, x_final, c.s, mu_final, sm,
-                                   compensated=compensated_res)
+        info = _result_info_rt(c, x_final, c.s, mu_final)
         return c._replace(res=info, status=jnp.asarray(results.MAX_ITER_REACHED, jnp.int32))
 
     c = lax.cond(
@@ -1043,8 +1090,8 @@ def fetch_out(out) -> dict:
         o += 1
     if "res_hist" in out:
         H = out["res_hist"].shape[0]
-        res["res_hist"] = flat[o:o + 5 * H].reshape(H, 5)
-        o += 5 * H
+        res["res_hist"] = flat[o:o + 6 * H].reshape(H, 6)
+        o += 6 * H
         res["res_hist_n"] = flat[o]
         o += 1
     for key in _PACK_INTS:

@@ -51,7 +51,8 @@ def print_header(model, m: int, n: int, sets=None, chordal_info=None,
 def print_history_rows(rows):
     """Residual rows from the device-side history ring (the verbose path on
     backends where in-loop host callbacks cannot run; printing.jl:38-48)."""
-    for it, cost, rp, rd, rho in rows:
+    for row in rows:
+        it, cost, rp, rd, rho = row[:5]
         print(f"{int(it)}\t{cost:.4e}\t{rp:.4e}\t{rd:.4e}\t{rho:.4e}")
 
 

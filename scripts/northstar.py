@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--seeds", type=int, default=1)
     ap.add_argument("--rho-overlap-scale", type=float, default=-1.0,
                     help="override Settings.rho_overlap_scale (-1 = default)")
+    ap.add_argument("--rho-tol", type=float, default=-1.0,
+                    help="override Settings.adaptive_rho_tolerance "
+                         "(the rho deadband; -1 = default)")
+    ap.add_argument("--seed-start", type=int, default=0)
     args = ap.parse_args()
 
     import numpy as np
@@ -73,6 +77,8 @@ def main():
         overrides = {}
         if args.rho_overlap_scale > 0:
             overrides["rho_overlap_scale"] = args.rho_overlap_scale
+        if args.rho_tol > 0:
+            overrides["adaptive_rho_tolerance"] = args.rho_tol
         model = ct.Model(
             ct.Settings(
                 **overrides,
@@ -110,7 +116,8 @@ def main():
             },
         }
 
-    runs = [run_seed(s) for s in range(args.seeds)]
+    runs = [run_seed(s)
+            for s in range(args.seed_start, args.seed_start + args.seeds)]
     out = {"problem": args.problem, "nodes": args.nodes, "runs": runs}
     if args.seeds > 1:
         med = lambda xs: float(np.median(np.asarray(xs, float)))

@@ -124,6 +124,10 @@ def profile_shape1(reps):
         return 0.999 * kkt_ops._chol_solve(kst.L, t) + 0.001 * t
     out["chol_solve"] = _timed(chol, xv, rl, rh)
 
+    def inv_apply(t):
+        return 0.999 * kkt_ops._kkt_apply(kst, t) + 0.001 * t
+    out["kkt_inv_apply"] = _timed(inv_apply, xv, rl, rh)
+
     # --- O(m+n) vector chain of one iteration (no A, no proj) ---
     w_full = jnp.concatenate([xv, w2])
     def vec_chain(w):
@@ -156,7 +160,7 @@ def profile_shape1(reps):
         r1 = 1e-6 * x1 - qd
         r2 = bd - 2.0 * s + w2l
         t = r1 + rmatvec(Ad, rho * r2)
-        xt = kkt_ops._chol_solve(kst.L, t)
+        xt = kkt_ops._kkt_apply(kst, t)
         nu = rho * (matvec(Ad, xt) - r2)
         s_tl = 2.0 * s - w2l - nu / rho
         w1 = x1 + 1.6 * (xt - x1)

@@ -120,3 +120,44 @@ def test_pallas_rr_kernel_interpret_mode(monkeypatch):
         w, Q = np.linalg.eigh(A.astype(np.float64))
         Yref = np.einsum("bik,bk,bjk->bij", Q, np.maximum(w, 0.0), Q)
         assert np.abs(Y - Yref).max() < 5e-4, k
+
+
+def test_auto_per_bucket_pallas_selection(monkeypatch):
+    """compile_cones "auto" on TPU (simulated): a multi-bucket plain-ADMM
+    layout gives the single dominant small-k large-batch bucket the Pallas
+    kernel and polar to everything else (at most ONE pallas instantiation
+    per program — mixed pallas shapes have faulted the TPU worker); with
+    the accelerator on, or off-TPU, no bucket is overridden."""
+    import numpy as np
+
+    import cosmo_tpu.models.cones as C
+    from cosmo_tpu.ops import conedata
+
+    sets = (
+        [C.PsdConeTriangle(36) for _ in range(400)]     # side 8, dominant
+        + [C.PsdConeTriangle(136) for _ in range(300)]  # side 16, smaller cost
+        + [C.PsdConeTriangle(300) for _ in range(5)]    # side 24, tiny batch
+    )
+
+    real_jax = __import__("jax")
+    monkeypatch.setattr(real_jax, "default_backend", lambda: "tpu")
+
+    cones = conedata.compile_cones(sets, dtype=np.float32, psd_pad_to=8,
+                                   eigh_backend="auto", accel_on=False)
+    # cost: 400*8^3 = 204800 < 300*16^3 = 1228800 -> the k=16 bucket wins
+    overrides = {(b.side, b.backend) for b in cones.psd_buckets}
+    assert (16, "pallas") in overrides
+    assert all(bk == "" for (side, bk) in overrides if side != 16)
+    assert cones.eigh_backend == "polar"
+
+    # accelerator on: no pallas anywhere (documented AA instability)
+    cones_aa = conedata.compile_cones(sets, dtype=np.float32, psd_pad_to=8,
+                                      eigh_backend="auto", accel_on=True)
+    assert all(b.backend == "" for b in cones_aa.psd_buckets)
+
+    # tiny batches (< 256 blocks) never take the kernel
+    small = [C.PsdConeTriangle(36) for _ in range(100)] + [
+        C.PsdConeTriangle(136) for _ in range(50)]
+    cones_sm = conedata.compile_cones(small, dtype=np.float32, psd_pad_to=8,
+                                      eigh_backend="auto", accel_on=False)
+    assert all(b.backend == "" for b in cones_sm.psd_buckets)

@@ -38,7 +38,7 @@ def test_residual_history_rows_through_model():
     m.set(P, q, A, b, sets)
     r = m.optimize()
     h = r.info.res_history
-    assert h is not None and h.shape[1] == 5
+    assert h is not None and h.shape[1] == 6   # + refine-latch col
     assert h.shape[0] >= 1
     # chronological iteration column; rows recorded at termination checks
     its = h[:, 0]

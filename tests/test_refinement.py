@@ -197,3 +197,54 @@ def test_f32_aa_plain_windows_decomposed_sdp():
     m2.set(P, q, A, b, sets)
     r2 = m2.optimize()
     assert r2.status == "Solved"
+
+
+def test_f32_dense_kkt_inverse_apply_gated_on_accelerator():
+    """The f32 explicit-inverse dense-KKT apply (ops/kkt.dense_factor
+    use_inverse) is plain-ADMM-only: its deterministic ~1e-5 apply-error
+    floor destabilizes safeguarded Anderson exactly like the Pallas Jacobi
+    kernel's floor does (measured: this min-eig SDP pins at rp~0.13 forever
+    under AA+inverse — the safeguard toggles without striking — yet solves
+    in ~100 iters with triangular solves and ~325 with inverse+plain ADMM).
+
+    Reference anchor for the default path: the QDLDL backslash solve,
+    src/kktsolver.jl:13-33."""
+    import jax.numpy as jnp
+
+    from cosmo_tpu.ops import kkt as kkt_ops
+    from cosmo_tpu.problems import svec, tri_dim
+
+    rng = np.random.default_rng(0)
+    k = 8
+    C = rng.standard_normal((k, k))
+    C = 0.5 * (C + C.T)
+    nt = tri_dim(k)
+    A = np.vstack([svec(np.eye(k))[None, :], -np.eye(nt)])
+    b = np.concatenate([[1.0], np.zeros(nt)])
+    sets = [ct.ZeroSet(1), ct.PsdConeTriangle(nt)]
+    lam = np.linalg.eigvalsh(C)[0]
+
+    # default config (AA on) -> triangular solves; must solve in f32
+    m = ct.Model(ct.Settings(eps_abs=1e-5, eps_rel=1e-5, dtype=np.float32,
+                             max_iter=4000))
+    m.set(np.zeros((nt, nt)), svec(C), A, b, sets)
+    r = m.optimize()
+    assert r.status == "Solved"
+    assert abs(r.obj_val - lam) < 1e-3 * abs(lam)
+
+    # accelerator off -> inverse apply; must also solve
+    m2 = ct.Model(ct.Settings(eps_abs=1e-5, eps_rel=1e-5, dtype=np.float32,
+                              accelerator=None, max_iter=6000))
+    m2.set(np.zeros((nt, nt)), svec(C), A, b, sets)
+    r2 = m2.optimize()
+    assert r2.status == "Solved"
+    assert abs(r2.obj_val - lam) < 1e-3 * abs(lam)
+
+    # unit: the factor state carries Minv only when asked, and only in f32
+    Af = jnp.asarray(A, jnp.float32)
+    Pf = jnp.zeros((nt, nt), jnp.float32)
+    rho = jnp.full(A.shape[0], 0.1, jnp.float32)
+    st = kkt_ops.dense_factor(Pf, Af, 1e-6, rho)
+    assert isinstance(st.Minv, tuple)
+    st_inv = kkt_ops.dense_factor(Pf, Af, 1e-6, rho, use_inverse=True)
+    assert not isinstance(st_inv.Minv, tuple)
