@@ -450,6 +450,14 @@ class Model:
             settings = settings.replace(
                 kkt_solver=KKT_BLOCK if kkt_block is not None else KKT_CG
             )
+        if settings.adaptive_rho_tolerance <= 0:
+            # auto rho deadband (see Settings.adaptive_rho_tolerance): tight
+            # where the refactor is a cheap batched op, reference-default
+            # elsewhere
+            settings = settings.replace(
+                adaptive_rho_tolerance=1.5
+                if settings.kkt_solver == KKT_BLOCK else 5.0
+            )
         use_dense_kkt = settings.kkt_solver == KKT_DENSE
         # rho_eq-amplified rows (ZeroSet / Box l==u) or compact-decomposition
         # overlap columns (separator conditioning) both push kappa(M) into
@@ -463,6 +471,9 @@ class Model:
         ) or (chordal_info is not None and chordal_info.num_overlaps > 0)
         static, dyn = split_settings(settings, m, n, dtype,
                                      refine_hint=refine_hint)
+        # observability: the post-auto-resolution option set this solve ran
+        # with (kkt_solver rewrite, rho-deadband auto, ...)
+        self._resolved_settings = settings
 
         if cache["qb_version"] == self._qb_version:
             qd, bd = cache["qd"], cache["bd"]

@@ -87,7 +87,16 @@ class Settings:
     MAX_SCALING: float = 1e4
     adaptive_rho: bool = True
     adaptive_rho_interval: int = 40
-    adaptive_rho_tolerance: float = 5.0
+    # rho-update deadband: an adaptation applies only when the proposed rho
+    # leaves [rho/tol, rho*tol]. 0.0 = auto: 1.5 when the block-diagonal
+    # direct KKT is active (its refactor is a cheap batched op, and the
+    # decomposed SDP families measurably crawl on a deadband-frozen rho —
+    # deadband sweep on TPU: banded-2000 median 2982 -> 1550 iters over 4
+    # seeds, maxcut-2000 seed 0 from Max_iter@20000 -> 4234, north-star 10k
+    # tail seed 9150 -> 2925), else the reference's 5.0 (dense refactors
+    # are O(n^3) per update; on CG/MINRES the re-expression + AA restart
+    # measurably drives a rho limit cycle on the min-eig family).
+    adaptive_rho_tolerance: float = 0.0
     adaptive_rho_fraction: float = 0.4
     adaptive_rho_max_adaptions: int = 2**31 - 1
     verbose_timing: bool = False
@@ -405,7 +414,11 @@ def split_settings(settings: Settings, m: int, n: int, dtype,
         rho_tol=f(settings.RHO_TOL),
         rho_eq_over_rho_ineq=f(settings.RHO_EQ_OVER_RHO_INEQ),
         infty=f(settings.COSMO_INFTY),
-        adaptive_rho_tolerance=f(settings.adaptive_rho_tolerance),
+        # 0 = auto, resolved by Model when it picks the KKT solver; direct
+        # split_settings callers get the conservative reference value
+        adaptive_rho_tolerance=f(settings.adaptive_rho_tolerance
+                                 if settings.adaptive_rho_tolerance > 0
+                                 else 5.0),
         safeguard_tol=f(settings.safeguard_tol),
         safeguard_anchor=f(settings.safeguard_anchor),
         obj_true=f(settings.obj_true),

@@ -172,7 +172,7 @@ def profile_shape1(reps):
             "B": B, "k": k, "us": {kk: round(v, 1) for kk, v in out.items()}}
 
 
-def profile_maxcut(reps, nodes=2000):
+def profile_maxcut(reps, nodes=2000, problem="maxcut"):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -182,8 +182,12 @@ def profile_maxcut(reps, nodes=2000):
     from cosmo_tpu.ops import blockkkt, conedata, projections
     from cosmo_tpu.ops.linops import matvec, rmatvec
 
-    P, q, A, b, sets, _ = problems.maxcut(
-        n_nodes=nodes, density=4.0 / nodes, seed=0, sparse=True)
+    if problem == "banded":
+        P, q, A, b, sets, _ = problems.banded_sdp(
+            n_nodes=nodes, bandwidth=8, seed=0, sparse=True)
+    else:
+        P, q, A, b, sets, _ = problems.maxcut(
+            n_nodes=nodes, density=4.0 / nodes, seed=0, sparse=True)
     model = ct.Model(ct.Settings(
         max_iter=10, eps_abs=0.0, eps_rel=0.0, eps_prim_inf=0.0,
         eps_dual_inf=0.0, accelerator=None, adaptive_rho=False,
@@ -270,7 +274,7 @@ def profile_maxcut(reps, nodes=2000):
     out["residual_check"] = _timed(resid, xv2, max(rl // 4, 5),
                                    max(rh // 4, 20))
 
-    info = {"shape": f"maxcut_{nodes}", "m": int(m), "n": int(n),
+    info = {"shape": f"{problem}_{nodes}", "m": int(m), "n": int(n),
             "buckets": [(int(bk.gather_idx.shape[0]), int(bk.side),
                          bk.fastpath) for bk in cones.psd_buckets],
             "us": {kk: round(v, 1) for kk, v in out.items()}}
@@ -281,11 +285,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", default="all")
     ap.add_argument("--reps", type=int, default=400)
+    ap.add_argument("--nodes", type=int, default=2000)
     a = ap.parse_args()
     if a.shape in ("1", "all"):
         print(json.dumps(profile_shape1(a.reps)), flush=True)
     if a.shape in ("3", "all"):
-        print(json.dumps(profile_maxcut(a.reps)), flush=True)
+        print(json.dumps(profile_maxcut(a.reps, nodes=a.nodes)), flush=True)
+    if a.shape == "banded":
+        print(json.dumps(profile_maxcut(a.reps, nodes=a.nodes,
+                                        problem="banded")), flush=True)
 
 
 if __name__ == "__main__":

@@ -290,3 +290,38 @@ def test_banner_reports_resolved_kkt_solver(capsys):
     r = m.optimize()
     out = capsys.readouterr().out
     assert "KKT solver = blockdiag" in out, out[-500:]
+
+
+def test_auto_rho_deadband_resolution():
+    """adaptive_rho_tolerance=0 (the default) resolves per KKT solver: 1.5
+    when the block-diagonal direct KKT is active (cheap batched refactor;
+    TPU-measured sweep: banded-2000 median 2982 -> 1550 iters, north-star
+    10k tail seed 9150 -> 2925), the reference's 5.0 elsewhere
+    (reference: settings.jl adaptive_rho_tolerance)."""
+    from cosmo_tpu.problems import banded_sdp
+
+    P, q, A, b, sets, _ = banded_sdp(n_nodes=200, bandwidth=8, seed=0,
+                                     sparse=True)
+    m = ct.Model(ct.Settings(eps_abs=1e-6, eps_rel=1e-6, decompose=True,
+                             max_iter=4000))
+    m.set(P, q, A, b, sets)
+    r = m.optimize()
+    assert r.status == "Solved"
+    assert m._resolved_settings.kkt_solver == "blockdiag"
+    assert m._resolved_settings.adaptive_rho_tolerance == 1.5
+
+    # dense path keeps the reference deadband
+    m2 = ct.Model(ct.Settings(eps_abs=1e-6, eps_rel=1e-6))
+    m2.assemble(np.array([[4.0, 1.0], [1.0, 2.0]]), np.array([1.0, 1.0]),
+                [ct.Constraint(np.eye(2), np.zeros(2), ct.Nonnegatives(2))])
+    r2 = m2.optimize()
+    assert r2.status == "Solved"
+    assert m2._resolved_settings.adaptive_rho_tolerance == 5.0
+
+    # explicit user value always wins
+    m3 = ct.Model(ct.Settings(eps_abs=1e-6, eps_rel=1e-6, decompose=True,
+                              max_iter=4000, adaptive_rho_tolerance=3.0))
+    m3.set(P, q, A, b, sets)
+    r3 = m3.optimize()
+    assert r3.status == "Solved"
+    assert m3._resolved_settings.adaptive_rho_tolerance == 3.0
