@@ -6,6 +6,7 @@ accumulated in the loop carry (reference: solver.jl:145-148, :326-348).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from . import projections
 from .conedata import ConeData
@@ -16,7 +17,15 @@ def is_primal_infeasible_multi(dy, P, A, b, cones: ConeData, sm, tols):
     """delta_y certificate (reference: infeasibility.jl:1-29), evaluated at
     every tolerance in ``tols`` from one pass over the expensive reductions
     (the strict certificate and its loose escalation gate share the batched
-    PSD eigendecompositions)."""
+    PSD eigendecompositions).
+
+    The batched-eig support-function pass runs under a ``lax.cond`` gated
+    on the cheap scalar preconditions (norm_dy, A'dy): each certificate
+    CONJOINS them, so when they fail at every tolerance the eig battery
+    cannot change the result — and on a converging trajectory they fail at
+    essentially every check (A'dy ~ 0 relative to |dy| only holds near a
+    genuine certificate ray). Measured: the full certificate machinery cost
+    8.9% of north-star-10k throughput, almost all of it this battery."""
     norm_dy = jnp.max(jnp.abs(sm.E * dy))
     min_tol = tols[0]
     for t in tols[1:]:
@@ -26,7 +35,17 @@ def is_primal_infeasible_multi(dy, P, A, b, cones: ConeData, sm, tols):
 
     dy_unit = dy * (-1.0 / safe_norm)
     dyt_b = jnp.dot(dy_unit, b)
-    sFs = projections.support_function_multi(dy_unit, cones, tols)
+
+    gate = jnp.asarray(False)
+    for tol in tols:
+        gate |= (norm_dy > tol) & (A_dy_max <= tol * norm_dy)
+    inf = jnp.asarray(jnp.inf, dy.dtype)
+    sFs = lax.cond(
+        gate,
+        lambda _: projections.support_function_multi(dy_unit, cones, tols),
+        lambda _: tuple(inf for _ in tols),
+        None,
+    )
 
     return tuple(
         (norm_dy > tol) & (A_dy_max <= tol * norm_dy) & (sF - dyt_b <= tol)
@@ -54,7 +73,17 @@ def is_dual_infeasible_multi(dx, P, A, q, cones: ConeData, sm, tols):
     P_dx_max = jnp.max(jnp.abs(sm.Dinv * matvec(P, dx))) / (safe_norm * sm.c)
 
     A_dx = (sm.Einv * matvec(A, dx)) / safe_norm
-    cond_Ks = projections.in_pol_recc_multi(A_dx, cones, tols)
+    # recession-cone eig battery gated on the cheap scalar preconditions —
+    # see is_primal_infeasible_multi (identical conjunction argument)
+    gate = jnp.asarray(False)
+    for tol in tols:
+        gate |= (norm_dx > tol) & (qt_dx < -tol) & (P_dx_max <= tol)
+    cond_Ks = lax.cond(
+        gate,
+        lambda _: projections.in_pol_recc_multi(A_dx, cones, tols),
+        lambda _: tuple(jnp.asarray(False) for _ in tols),
+        None,
+    )
 
     return tuple(
         (norm_dx > tol) & (qt_dx < -tol) & (P_dx_max <= tol) & cond_K
