@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--rho-tol", type=float, default=-1.0,
                     help="override Settings.adaptive_rho_tolerance "
                          "(the rho deadband; -1 = default)")
+    ap.add_argument("--eigh", default="",
+                    help="override Settings.eigh_backend (experiments)")
+    ap.add_argument("--accel", default="default",
+                    help="'none' disables the accelerator (experiments)")
     ap.add_argument("--seed-start", type=int, default=0)
     args = ap.parse_args()
 
@@ -79,6 +83,10 @@ def main():
             overrides["rho_overlap_scale"] = args.rho_overlap_scale
         if args.rho_tol > 0:
             overrides["adaptive_rho_tolerance"] = args.rho_tol
+        if args.eigh:
+            overrides["eigh_backend"] = args.eigh
+        if args.accel == "none":
+            overrides["accelerator"] = None
         model = ct.Model(
             ct.Settings(
                 **overrides,

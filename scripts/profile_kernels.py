@@ -262,6 +262,20 @@ def profile_maxcut(reps, nodes=2000, problem="maxcut"):
         return 0.999 * jnp.concatenate([w1, w2n]) + 0.001 * w
     out["vector_chain"] = _timed(vec_chain, w_full, rl, rh)
 
+    # Anderson update + accelerate at this scale (the north-star default
+    # runs AA mem=15 over d = n+m vectors: dF/dG HBM traffic per iter)
+    from cosmo_tpu import accel
+    aa0 = accel.update(
+        accel.init_accel(n + m, 15, dtype)._replace(
+            active=jnp.asarray(True)),
+        w_full, 0.9 * w_full)
+
+    def aa_step(w):
+        aa = accel.update(aa0, w, 0.99 * w)
+        w_new, aa2 = accel.accelerate(aa, w)
+        return 0.999 * w_new + 0.001 * w
+    out["aa_update_accelerate"] = _timed(aa_step, w_full, rl, rh)
+
     # termination-check reductions
     from cosmo_tpu.ops import residuals as res_ops
     from cosmo_tpu.ops import scaling as scaling_ops
