@@ -94,11 +94,19 @@ def restart(aa: AccelState) -> AccelState:
     )
 
 
-def update(aa: AccelState, g, x, memory: str = "restarted") -> AccelState:
+def update(aa: AccelState, g, x, memory: str = "restarted",
+           gate=None) -> AccelState:
     """Push the pair (x, g = T(x)) into the history (CA.update! semantics;
     f = x - g). ``memory``: "restarted" empties a full history and refills
     (reference RestartedMemory); "rolling" overwrites the oldest pair
-    (RollingMemory)."""
+    (RollingMemory).
+
+    ``gate`` (traced bool or None): when given, a False gate makes the call
+    an exact no-op by VALUE selection — the caller can then run update
+    unconditionally instead of under a ``lax.cond``, whose taken branch
+    copies every [mem, d] history buffer it writes in and out of the
+    conditional (measured: +0.46 ms per 26 MB buffer per iteration on v5e;
+    the scalar selects here are free)."""
     mem = aa.dF.shape[0]
     f = x - g
 
@@ -121,23 +129,41 @@ def update(aa: AccelState, g, x, memory: str = "restarted") -> AccelState:
         slot = jnp.where(full, 0, aa.count)
         count_next = slot + 1
 
-    df_row = f - aa.f_last
-    dg_row = g - aa.g_last
+    # Value-gated row write: the straightforward
+    # ``where(push, dF.at[slot].set(row), dF)`` keeps BOTH the original
+    # buffer and the written copy alive through the select, forcing XLA to
+    # materialize ~3x the history size in HBM every iteration (measured
+    # 2.5 ms/iter of AA overhead at the 10k north-star, where dF/dG are
+    # 26 MB each). Selecting the VALUE and writing unconditionally keeps
+    # the update in-place (one row read + one row write) and is bitwise
+    # identical: the written row equals the old row when push is false.
     push = aa.have_last & ~full
-    dF = jnp.where(push, aa.dF.at[slot].set(df_row), aa.dF)
-    dG = jnp.where(push, aa.dG.at[slot].set(dg_row), aa.dG)
+    if gate is not None:
+        push = push & gate
+    df_row = jnp.where(push, f - aa.f_last, aa.dF[slot])
+    dg_row = jnp.where(push, g - aa.g_last, aa.dG[slot])
+    dF = aa.dF.at[slot].set(df_row)
+    dG = aa.dG.at[slot].set(dg_row)
     count = jnp.where(
         push, count_next, jnp.where(aa.have_last & full, 0, aa.count)
     )
+    if gate is not None:
+        count = jnp.where(gate, count, aa.count)
+        x = jnp.where(gate, x, aa.x_last)
+        g = jnp.where(gate, g, aa.g_last)
+        f = jnp.where(gate, f, aa.f_last)
+        have_last = aa.have_last | gate
+    else:
+        have_last = jnp.asarray(True)
 
     return aa._replace(
         x_last=x, g_last=g, f_last=f, dF=dF, dG=dG, count=count,
-        have_last=jnp.asarray(True),
+        have_last=have_last,
     )
 
 
 def accelerate(aa: AccelState, w, aa_type: str = "type2",
-               regularizer: str = "none"):
+               regularizer: str = "none", gate=None):
     """Compute the accelerated candidate w_acc = g - dG' gamma.
 
     ``aa_type``:
@@ -167,12 +193,10 @@ def accelerate(aa: AccelState, w, aa_type: str = "type2",
     n_active = jnp.minimum(aa.count, mem)
     active_row = rows < n_active  # [mem]
 
-    Fm = jnp.where(active_row[:, None], aa.dF, 0.0)
-    Gm = jnp.where(active_row[:, None], aa.dG, 0.0)
-
     if aa_type == "type2_qr":
         # least squares via QR of dF' [d, mem]; inactive history rows are
         # zero columns -> zero R diagonal -> masked out of the solve
+        Fm = jnp.where(active_row[:, None], aa.dF, 0.0)
         Q, R = jnp.linalg.qr(Fm.T, mode="reduced")   # Q [d, mem], R [mem, mem]
         rhs = Q.T @ aa.f_last
         diag = jnp.abs(jnp.diagonal(R))
@@ -189,18 +213,30 @@ def accelerate(aa: AccelState, w, aa_type: str = "type2",
         well_cond = jnp.all(good | ~active_row)
     else:
         # mem x mem secant system; inactive rows get an identity diagonal
-        # and zero rhs so their gamma is exactly 0
+        # and zero rhs so their gamma is exactly 0.
+        # Gram-level masking: zeroing history ROWS of dF/dG before the
+        # products equals zeroing the corresponding rows/columns of the
+        # [mem, mem] Gram and rhs entries — so the masks move off the
+        # [mem, d] buffers (two ~26 MB materialized copies per iteration at
+        # the 10k north-star scale) onto [mem, mem]/[mem] scalars. The Gram
+        # values that survive the mask are the same dot products, bitwise.
+        mask2 = active_row[:, None] & active_row[None, :]
         if aa_type == "type1":
-            Xm = Gm + Fm                       # dX = dG + dF
-            G_raw = Xm @ Fm.T
-            rhs = Xm @ aa.f_last
+            Xm = aa.dG + aa.dF                 # dX = dG + dF
+            G_raw = jnp.where(mask2, Xm @ aa.dF.T, 0.0)
+            rhs = jnp.where(active_row, Xm @ aa.f_last, 0.0)
         else:
-            G_raw = Fm @ Fm.T
-            rhs = Fm @ aa.f_last
+            G_raw = jnp.where(mask2, aa.dF @ aa.dF.T, 0.0)
+            rhs = jnp.where(active_row, aa.dF @ aa.f_last, 0.0)
         if regularizer == "tikhonov":
             lam = 1e-8 * jnp.linalg.norm(G_raw)
         elif regularizer == "frobenius":
-            lam = 1e-10 * jnp.sum(Fm * Fm)
+            if aa_type == "type1":
+                row_ss = jnp.einsum("md,md->m", aa.dF, aa.dF)
+                lam = 1e-10 * jnp.sum(jnp.where(active_row, row_ss, 0.0))
+            else:
+                # sum of squares over active rows = trace of the masked Gram
+                lam = 1e-10 * jnp.trace(G_raw)
         else:
             lam = 1e-13 * jnp.maximum(jnp.abs(jnp.trace(G_raw)), 1.0)
         diag_fix = jnp.where(active_row, lam, 1.0)
@@ -216,8 +252,17 @@ def accelerate(aa: AccelState, w, aa_type: str = "type2",
         kth = sv[jnp.clip(n_active - 1, 0, mem - 1)]
         well_cond = kth > (eps * mem) * sv[0]
 
-    w_acc = aa.g_last - Gm.T @ gamma
+    # gamma is exactly 0 on inactive/degenerate rows (identity diagonal +
+    # zero rhs in the normal-equation solve; the `good` mask in the QR
+    # path), so the combination can read the UNMASKED history: inactive
+    # rows contribute gamma_r * dG_r = 0 — no [mem, d] masked copy of dG.
+    gamma = jnp.where(active_row, gamma, 0.0)
+    w_acc = aa.g_last - gamma @ aa.dG
     ok = jnp.all(jnp.isfinite(w_acc)) & (aa.count > 0) & well_cond
+    if gate is not None:
+        # see update(): lets the caller run accelerate unconditionally —
+        # a False gate discards the candidate exactly
+        ok = ok & gate
 
     w_new = jnp.where(ok, w_acc, w)
     aa = aa._replace(

@@ -343,10 +343,17 @@ def factor(meta: BlockKKTMeta, P: Coo, A: Coo, sigma, rho_vec,
             .at[b.av_tgt].set(A.vals[b.av_idx])
             .reshape(b.N, b.R, b.k)
         ) if b.row_ids is not None and b.spec is None else None
+        # per-component rho rows, cached per factor (rho only changes at a
+        # refactor): saves one [N, R] gather per iteration in _solve_fused —
+        # XLA TPU gathers measured ~1.4 ms per 680k elements at the 10k
+        # north-star, per pass
+        rhog = (
+            jnp.concatenate([rho_vec, jnp.zeros(1, dtype)])[b.row_ids]
+        ) if Adense is not None else None
         if build_pair:
-            states.append((Minv, Mh, Ml, Adense))
+            states.append((Minv, Mh, Ml, Adense, rhog))
         else:
-            states.append((Minv, Adense))
+            states.append((Minv, Adense, rhog))
     return tuple(states)
 
 
@@ -405,7 +412,7 @@ def _block_matvec(meta: BlockKKTMeta, state, x, m: int):
     xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
     out = jnp.zeros(m + 1, x.dtype)
     for b, st in zip(meta.buckets, state):
-        Ad = st[-1]
+        Ad = st[-2]
         xb = xp[b.cols]
         yb = jnp.einsum("nrk,nk->nr", Ad, xb)
         out = out.at[jnp.asarray(b.row_ids).reshape(-1)].set(yb.reshape(-1))
@@ -417,7 +424,7 @@ def _block_rmatvec(meta: BlockKKTMeta, state, y):
     yp = jnp.concatenate([y, jnp.zeros(1, y.dtype)])
     out = jnp.zeros(meta.n + 1, y.dtype)
     for b, st in zip(meta.buckets, state):
-        Ad = st[-1]
+        Ad = st[-2]
         yb = yp[b.row_ids]
         xb = jnp.einsum("nrk,nr->nk", Ad, yb)
         out = out.at[jnp.asarray(b.cols).reshape(-1)].set(xb.reshape(-1))
@@ -435,7 +442,7 @@ def _block_rhs2(meta: BlockKKTMeta, state, rho_vec, r1, r2):
     outh = jnp.zeros(meta.n + 1, dtype)
     outl = jnp.zeros(meta.n + 1, dtype)
     for b, st in zip(meta.buckets, state):
-        Ad = st[-1]
+        Ad = st[-2]
         yh = php[b.row_ids][:, :, None]            # [N, R, 1]
         yl = plp[b.row_ids][:, :, None]
         p, e = df32.two_prod(Ad, yh)
@@ -450,6 +457,40 @@ def _block_rhs2(meta: BlockKKTMeta, state, rho_vec, r1, r2):
     return df32.add((outh[:-1], outl[:-1]), df32.promote(r1))
 
 
+def _solve_fused(meta: BlockKKTMeta, state, rho_vec, r1, r2):
+    """Plain solve with the whole t -> x -> nu chain kept in block space.
+
+    The unfused path costs ~8 global gather/scatter passes through n- and
+    m-sized vectors per solve (rhs scatter + re-gather, apply scatter +
+    re-gather, matvec scatter + global elementwise) — measured 5.65 ms of
+    the 6.6 ms bare iteration at the 10k north-star, where XLA TPU
+    scatters/gathers run at a few elements per cycle. Components have
+    DISJOINT rows and columns (that is what makes the block-diagonal
+    reduction exact), so each bucket can gather its inputs once, run the
+    batched einsum chain locally, and scatter x and nu once. All
+    elementwise values are computed in the same order as the unfused path
+    — results are bitwise identical.
+    """
+    dtype = r1.dtype
+    m = r2.shape[0]
+    r1p = jnp.concatenate([r1, jnp.zeros(1, dtype)])
+    r2p = jnp.concatenate([r2, jnp.zeros(1, dtype)])
+    x_out = jnp.zeros(meta.n + 1, dtype)
+    # rows not covered by any component (all-zero A rows, e.g. the compact
+    # transform's pad rows) see Ax = 0 in the unfused path
+    nu_out = jnp.concatenate([rho_vec * (0.0 - r2), jnp.zeros(1, dtype)])
+    for b, st in zip(meta.buckets, state):
+        Minv, Ad, rhog = st[0], st[-2], st[-1]     # rhog cached per factor
+        rows = jnp.asarray(b.row_ids)
+        r2g = r2p[rows]
+        tb = r1p[b.cols] + jnp.einsum("nrk,nr->nk", Ad, rhog * r2g)
+        xb = jnp.einsum("nij,nj->ni", Minv, tb)
+        nub = rhog * (jnp.einsum("nrk,nk->nr", Ad, xb) - r2g)
+        x_out = x_out.at[jnp.asarray(b.cols).reshape(-1)].set(xb.reshape(-1))
+        nu_out = nu_out.at[rows.reshape(-1)].set(nub.reshape(-1))
+    return x_out[:meta.n], nu_out[:m]
+
+
 def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
           refine_steps: int = 0):
     """Solve the KKT system through the cached block inverses.
@@ -460,13 +501,12 @@ def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
     the refinement residual uses the batched block pair-matvec; otherwise
     it falls back to the global compensated COO passes.
     """
-    use_block_A = len(state) > 0 and all(st[-1] is not None for st in state)
+    use_block_A = len(state) > 0 and all(st[-2] is not None for st in state)
     m = r2.shape[0]
     if refine_steps <= 0:
         if use_block_A:
-            t = r1 + _block_rmatvec(meta, state, rho_vec * r2)
-        else:
-            t = r1 + rmatvec(A, rho_vec * r2)
+            return _solve_fused(meta, state, rho_vec, r1, r2)
+        t = r1 + rmatvec(A, rho_vec * r2)
         x = _apply(meta, state, t)
     else:
         if use_block_A:
@@ -474,7 +514,7 @@ def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
         else:
             t_pair = df32.kkt_rhs2(A, rho_vec, r1, r2)
         x_pair = df32.promote(_apply(meta, state, t_pair[0]))
-        has_pair = len(state) > 0 and len(state[0]) == 4
+        has_pair = len(state) > 0 and len(state[0]) == 5
         for _ in range(refine_steps):
             if has_pair:
                 mh, ml = _matvec_pair(meta, state, x_pair)

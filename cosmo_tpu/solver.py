@@ -754,44 +754,34 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                     & ~aa.disabled
                 )
 
-            def do_accel(args):
-                aa, w = args
-                aa = accel.update(aa, w, c.w_prev, static.accel_memory)
-                w_new, aa = accel.accelerate(
-                    aa, w, static.accel_type, static.accel_regularizer
-                )
-                return aa, w_new
-
-            def no_accel(args):
-                aa, w = args
-                return aa._replace(success=jnp.asarray(False)), w
-
-            def plain_update(args):
-                # forced-plain iteration (certificate window / starvation):
-                # keep recording history — these are genuine plain-ADMM
-                # pairs, the best possible secants — but do not accelerate.
-                # Freezing the history instead would make the first
-                # post-window update push a secant spanning the whole
-                # window, which measurably wrecks the accelerator (minres
-                # min-eig: 1.5k iters without windows, never converges with
-                # frozen-history windows).
-                aa, w = args
-                aa = accel.update(aa, w, c.w_prev, static.accel_memory)
-                return aa._replace(success=jnp.asarray(False)), w
-
             # Deferred rho updates only run on non-accelerated iterations
             # (reference: solver.jl:284-292 update_suggested). The restarted
             # memory yields one of those per memory window, but a rolling-
             # memory accelerator can accelerate every iteration forever —
             # once a deferred update has starved longer than one memory
-            # window, force one plain ADMM iteration so it can run.
+            # window, force one plain ADMM iteration so it can run
+            # (starved: keep recording history — these are genuine
+            # plain-ADMM pairs, the best possible secants — but do not
+            # accelerate. Freezing the history instead would make the first
+            # post-window update push a secant spanning the whole window,
+            # which measurably wrecks the accelerator: minres min-eig 1.5k
+            # iters without windows, never converges with frozen-history
+            # windows).
+            #
+            # Both calls run UNCONDITIONALLY with value gates instead of
+            # under lax.cond: a taken cond branch copies every [mem, d]
+            # history buffer it writes in and out of the conditional
+            # (toy-measured +0.46 ms per 26 MB buffer per iteration on
+            # v5e — 2.5 ms/iter of AA overhead at the 10k north-star),
+            # while the gated no-op path costs one 15x15 Gram + solve.
             starved = c.due_age >= static.accel_mem
-            forced_plain = aa.active & ~is_redo & starved
-            aa, w = lax.cond(
-                aa.active & ~is_redo & ~starved,
-                do_accel,
-                lambda args: lax.cond(forced_plain, plain_update, no_accel, args),
-                (aa, c.w),
+            gate_upd = aa.active & ~is_redo
+            gate_acc = gate_upd & ~starved
+            aa = accel.update(aa, c.w, c.w_prev, static.accel_memory,
+                              gate=gate_upd)
+            w, aa = accel.accelerate(
+                aa, c.w, static.accel_type, static.accel_regularizer,
+                gate=gate_acc,
             )
             c = c._replace(aa=aa, w=w)
 
