@@ -491,6 +491,51 @@ def _solve_fused(meta: BlockKKTMeta, state, rho_vec, r1, r2):
     return x_out[:meta.n], nu_out[:m]
 
 
+def _solve_fused_refined(meta: BlockKKTMeta, state, rho_vec, r1, r2,
+                         refine_steps: int):
+    """Refined solve with the rhs/apply/pair-matvec refinement chain kept
+    in block space (see :func:`_solve_fused` — the same disjoint-rows/
+    disjoint-columns argument; requires pair-valued state, i.e.
+    factor(build_pair=True)). The compensated values are computed in the
+    same elementwise/reduction order as the unfused path — bitwise
+    identical results."""
+    dtype = r1.dtype
+    m = r2.shape[0]
+    r1p = jnp.concatenate([r1, jnp.zeros(1, dtype)])
+    r2p = jnp.concatenate([r2, jnp.zeros(1, dtype)])
+    x_out = jnp.zeros(meta.n + 1, dtype)
+    nu_out = jnp.concatenate([rho_vec * (0.0 - r2), jnp.zeros(1, dtype)])
+    for b, st in zip(meta.buckets, state):
+        Minv, Mh, Ml, Ad, rhog = st
+        rows = jnp.asarray(b.row_ids)
+        r2g = r2p[rows]
+        # compensated t = r1 + A'(rho r2) (block-local _block_rhs2)
+        ph, pl = df32.two_prod(rhog, r2g)
+        p, e = df32.two_prod(Ad, ph[:, :, None])
+        e = e + Ad * pl[:, :, None]
+        hi, lo = df32._pairwise_sum(
+            jnp.swapaxes(p, 1, 2), jnp.swapaxes(e, 1, 2), axis=2
+        )                                           # [N, k]
+        th, tl = df32.add((hi, lo), df32.promote(r1p[b.cols]))
+        xp = df32.promote(jnp.einsum("nij,nj->ni", Minv, th))
+        for _ in range(refine_steps):
+            # block-local _matvec_pair of the exact (Mh, Ml)
+            Xh = xp[0][:, None, :]
+            Xl = xp[1][:, None, :]
+            pp, ee = df32.two_prod(Mh, Xh)
+            ee = ee + Mh * Xl + Ml * Xh
+            mh, ml = df32._pairwise_sum(pp, ee, axis=2)
+            rr = df32.to_f32(df32.add((th, tl), (-mh, -ml)))
+            xp = df32.add(
+                xp, df32.promote(jnp.einsum("nij,nj->ni", Minv, rr))
+            )
+        xb = df32.to_f32(xp)
+        nub = rhog * (jnp.einsum("nrk,nk->nr", Ad, xb) - r2g)
+        x_out = x_out.at[jnp.asarray(b.cols).reshape(-1)].set(xb.reshape(-1))
+        nu_out = nu_out.at[rows.reshape(-1)].set(nub.reshape(-1))
+    return x_out[:meta.n], nu_out[:m]
+
+
 def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
           refine_steps: int = 0):
     """Solve the KKT system through the cached block inverses.
@@ -509,6 +554,10 @@ def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
         t = r1 + rmatvec(A, rho_vec * r2)
         x = _apply(meta, state, t)
     else:
+        has_pair_f = len(state) > 0 and len(state[0]) == 5
+        if use_block_A and has_pair_f:
+            return _solve_fused_refined(meta, state, rho_vec, r1, r2,
+                                        refine_steps)
         if use_block_A:
             t_pair = _block_rhs2(meta, state, rho_vec, r1, r2)
         else:
