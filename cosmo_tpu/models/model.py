@@ -361,6 +361,7 @@ class Model:
                 eigh_backend=settings.eigh_backend,
                 jacobi_sweeps=settings.jacobi_sweeps,
                 accel_on=settings.accelerator is not None,
+                decomposed=self._chordal_info is not None,
             )
             # sparse problems cannot use the dense Cholesky; prefer the
             # batched block-diagonal direct solver (ops/blockkkt.py)

@@ -170,7 +170,8 @@ class ConeData:
 
 
 def resolve_eigh_backend(requested: str, buckets=None,
-                         accel_on: bool = True) -> str:
+                         accel_on: bool = True,
+                         decomposed: bool = False) -> str:
     """The single source of truth for resolving an ``"auto"`` eigh backend.
 
     Used by :func:`compile_cones` (which sees all PSD buckets) and by the
@@ -178,18 +179,25 @@ def resolve_eigh_backend(requested: str, buckets=None,
     which resolves conservatively). Off-TPU, LAPACK/XLA eigh always wins.
     On TPU, the Pallas Jacobi kernel is selected for a *single* bucket of
     side <= 16 (~2x the Newton-Schulz polar throughput there: 434 vs 932
-    us/proj at [512, 16, 16] on v5e) — but ONLY when Anderson acceleration
-    is off (``accel_on=False``): f32 Jacobi carries an inherent ~1e-5
-    relative backward-error floor (accumulated similarity-transform
-    rounding over ~sweeps*k^2/2 rotations; measured 6e-6 at k=8, 1.7e-5 at
-    k=16, flat in sweep count, vs 4e-7 for polar), and that projection
-    noise destabilizes the safeguarded AA dynamics — measured: an 8x8
-    min-eig SDP orbits at rp~0.16 forever under AA+pallas but solves in
-    ~690 iters under AA+polar and ~450 under plain+pallas. Everything else
-    — multiple buckets (mixed kernel shapes have triggered TPU-worker
-    faults) or larger blocks (the serial rotation chain loses to pure
-    batched matmuls) — resolves to polar. Explicit ``"pallas"`` remains
-    available for throughput-critical plain-ADMM workloads.
+    us/proj at [512, 16, 16] on v5e) — when Anderson acceleration is off
+    (``accel_on=False``), or under Anderson only for DECOMPOSED problems
+    with a large block batch. The caution exists because f32 Jacobi
+    carries an inherent ~1e-5 relative backward-error floor (accumulated
+    similarity-transform rounding over ~sweeps*k^2/2 rotations; measured
+    6e-6 at k=8, 1.7e-5 at k=16, flat in sweep count, vs 4e-7 for polar),
+    and that projection noise can destabilize the safeguarded AA dynamics
+    — measured: an 8x8 min-eig SDP (dense KKT, not decomposed) orbits at
+    rp~0.16 forever under AA+pallas but solves in ~690 iters under
+    AA+polar and ~450 under plain+pallas. On the decomposed family the
+    combination is measured SAFE and much faster (round 4: banded-2000
+    4 seeds + banded-10k 3 seeds all Solved at comparable iteration
+    counts, 93 -> 122 iter/s at 10k) — the df32 refine endgame cuts
+    through the projection floor there. Everything else — multiple
+    buckets (mixed kernel shapes have triggered TPU-worker faults) or
+    larger blocks (the serial rotation chain loses to pure batched
+    matmuls — measured k=32: polar 2.2x faster at B=2048, see ROADMAP) —
+    resolves to polar. Explicit ``"pallas"`` remains available for
+    throughput-critical plain-ADMM workloads.
     """
     if requested != "auto":
         return requested
@@ -197,8 +205,17 @@ def resolve_eigh_backend(requested: str, buckets=None,
 
     if jax.default_backend() != "tpu":
         return "xla"
-    if buckets is not None and not accel_on:
-        if len(buckets) == 1 and buckets[0].side <= 16:
+    if buckets is not None and len(buckets) == 1 and buckets[0].side <= 16:
+        if not accel_on:
+            return "pallas"
+        # Under Anderson, the kernel's ~1e-5 f32 floor is tolerated ONLY on
+        # decomposed problems with a large block batch (measured round 4:
+        # banded-2000 4 seeds and banded-10k 3 seeds all Solved at
+        # comparable iterations, 93 -> 122 iter/s at 10k; the decomposed
+        # path's df32 refine endgame cuts through the projection floor).
+        # The measured AA+pallas orbit (8x8 min-eig SDP pinned at rp~0.16
+        # forever) is a dense-KKT, non-decomposed problem — excluded here.
+        if decomposed and buckets[0].gather_idx.shape[0] >= 256:
             return "pallas"
     return "polar"
 
@@ -211,7 +228,8 @@ def _tri_index(i: int, j: int) -> int:
 
 def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8,
                   soc_pad_pow2: bool = True, eigh_backend: str = "xla",
-                  jacobi_sweeps: int = 8, accel_on: bool = True) -> ConeData:
+                  jacobi_sweeps: int = 8, accel_on: bool = True,
+                  decomposed: bool = False) -> ConeData:
     """Build the batched cone representation from an ordered cone list.
 
     ``accel_on``: whether the solve will run Anderson acceleration — gates
@@ -550,7 +568,8 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
         )
 
     requested = eigh_backend
-    eigh_backend = resolve_eigh_backend(eigh_backend, psd_bucket_objs, accel_on)
+    eigh_backend = resolve_eigh_backend(eigh_backend, psd_bucket_objs,
+                                        accel_on, decomposed)
     if (
         requested == "auto"
         and eigh_backend == "polar"

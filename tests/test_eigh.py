@@ -161,3 +161,38 @@ def test_auto_per_bucket_pallas_selection(monkeypatch):
     cones_sm = conedata.compile_cones(small, dtype=np.float32, psd_pad_to=8,
                                       eigh_backend="auto", accel_on=False)
     assert all(b.backend == "" for b in cones_sm.psd_buckets)
+
+
+def test_auto_single_bucket_decomposed_aa_rule(monkeypatch):
+    """Round-4 rule: under Anderson, "auto" picks the Pallas kernel only
+    for DECOMPOSED single-small-bucket layouts with a large batch (measured
+    safe + ~30% faster on banded 2k/10k); non-decomposed AA keeps polar
+    (the measured 8x8 min-eig AA+pallas orbit is that family)."""
+    import numpy as np
+
+    import cosmo_tpu.models.cones as C
+    from cosmo_tpu.ops import conedata
+
+    real_jax = __import__("jax")
+    monkeypatch.setattr(real_jax, "default_backend", lambda: "tpu")
+
+    big = [C.PsdConeTriangle(36) for _ in range(400)]   # one side-8 bucket
+
+    r = conedata.resolve_eigh_backend
+    cones = conedata.compile_cones(big, dtype=np.float32, psd_pad_to=8,
+                                   eigh_backend="auto", accel_on=True,
+                                   decomposed=True)
+    assert cones.eigh_backend == "pallas"
+    cones2 = conedata.compile_cones(big, dtype=np.float32, psd_pad_to=8,
+                                    eigh_backend="auto", accel_on=True,
+                                    decomposed=False)
+    assert cones2.eigh_backend == "polar"
+    small = [C.PsdConeTriangle(36) for _ in range(100)]  # batch < 256
+    cones3 = conedata.compile_cones(small, dtype=np.float32, psd_pad_to=8,
+                                    eigh_backend="auto", accel_on=True,
+                                    decomposed=True)
+    assert cones3.eigh_backend == "polar"
+    cones4 = conedata.compile_cones(big, dtype=np.float32, psd_pad_to=8,
+                                    eigh_backend="auto", accel_on=False,
+                                    decomposed=False)
+    assert cones4.eigh_backend == "pallas"
