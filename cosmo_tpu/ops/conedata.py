@@ -573,17 +573,22 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
     if (
         requested == "auto"
         and eigh_backend == "polar"
-        and not accel_on
+        and (not accel_on or decomposed)
         and len(psd_bucket_objs) > 1
     ):
         import jax
 
         if jax.default_backend() == "tpu":
-            # multi-bucket plain-ADMM solves: give the single dominant
-            # small-k large-batch bucket the Pallas kernel (see
-            # PsdBucket.backend) — decomposed SDPs concentrate most blocks
-            # in one small-side bucket (maxcut-2000: [1729, 8] dominates
-            # the projection at 1105 of 1631 us under polar)
+            # multi-bucket solves: give the single dominant small-k
+            # large-batch bucket the Pallas kernel (see PsdBucket.backend)
+            # — decomposed SDPs concentrate most blocks in one small-side
+            # bucket (maxcut-2000: [1729, 8] dominates the projection at
+            # 1105 of 1631 us under polar; maxcut-10k: [8540, 8] polar is
+            # 4.9 ms of an 8.2 ms projection). Under Anderson this is
+            # allowed only for DECOMPOSED problems — the same
+            # family-validated rule as the single-bucket case in
+            # resolve_eigh_backend (measured: maxcut-2000 seeds solve at
+            # comparable iterations, see ROADMAP)
             cand = [
                 (b.gather_idx.shape[0] * b.side**3, i)
                 for i, b in enumerate(psd_bucket_objs)

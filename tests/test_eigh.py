@@ -150,10 +150,16 @@ def test_auto_per_bucket_pallas_selection(monkeypatch):
     assert all(bk == "" for (side, bk) in overrides if side != 16)
     assert cones.eigh_backend == "polar"
 
-    # accelerator on: no pallas anywhere (documented AA instability)
+    # accelerator on, NOT decomposed: no pallas anywhere (the measured
+    # AA+pallas orbit family); decomposed + AA gets the override (round-4
+    # family rule, measured on maxcut-2000/-10k)
     cones_aa = conedata.compile_cones(sets, dtype=np.float32, psd_pad_to=8,
                                       eigh_backend="auto", accel_on=True)
     assert all(b.backend == "" for b in cones_aa.psd_buckets)
+    cones_dec = conedata.compile_cones(sets, dtype=np.float32, psd_pad_to=8,
+                                       eigh_backend="auto", accel_on=True,
+                                       decomposed=True)
+    assert any(b.backend == "pallas" for b in cones_dec.psd_buckets)
 
     # tiny batches (< 256 blocks) never take the kernel
     small = [C.PsdConeTriangle(36) for _ in range(100)] + [
