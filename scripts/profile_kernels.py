@@ -224,24 +224,29 @@ def profile_maxcut(reps, nodes=2000, problem="maxcut"):
             Xb, rl, rh)
 
     if meta is not None:
-        xv = jnp.asarray(np.random.default_rng(1).standard_normal(n), dtype)
         st = blockkkt.factor(meta, Pdev, Adev, 1e-6, rho)
-        r2 = jnp.asarray(np.random.default_rng(3).standard_normal(m), dtype)
-        def bsolve(x):
+        # the carried value must feed BOTH r1 and r2 — with a fixed r2 the
+        # whole rhs half of the chain is loop-invariant and XLA hoists it
+        # out of the rep loop (measured: this very harness reported
+        # 1.45 ms for a solve whose true in-loop cost is 5.65 ms)
+        wv = jnp.asarray(
+            np.random.default_rng(1).standard_normal(n + m), dtype)
+        def bsolve(w):
             xt, nu = blockkkt.solve(meta, st, Pdev, Adev, 1e-6, rho,
-                                    x, r2, 0)
-            return 0.999 * xt + 0.001 * x
-        out["blockkkt_solve"] = _timed(bsolve, xv, rl, rh)
+                                    w[:n], w[n:], 0)
+            return 0.999 * w + 0.001 * jnp.concatenate([xt, nu])
+        out["blockkkt_solve"] = _timed(bsolve, wv, rl, rh)
         try:
             st_pair = blockkkt.factor(meta, Pdev, Adev, 1e-6, rho,
                                       build_pair=True)
-            def bsolve_r(x):
+            def bsolve_r(w):
                 xt, nu = blockkkt.solve(meta, st_pair, Pdev, Adev, 1e-6,
-                                        rho, x, r2, 1)
-                return 0.999 * xt + 0.001 * x
-            out["blockkkt_solve_refine1"] = _timed(bsolve_r, xv, rl, rh)
+                                        rho, w[:n], w[n:], 1)
+                return 0.999 * w + 0.001 * jnp.concatenate([xt, nu])
+            out["blockkkt_solve_refine1"] = _timed(bsolve_r, wv, rl, rh)
         except Exception as e:  # pragma: no cover - informational
             out["blockkkt_solve_refine1"] = -1.0
+        xv = jnp.asarray(np.random.default_rng(1).standard_normal(n), dtype)
         def spmv_pair(x):
             y = matvec(Adev, x)
             return 0.999 * rmatvec(Adev, rho * y) + 0.001 * x
