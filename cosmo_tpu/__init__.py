@@ -60,6 +60,7 @@ from .models.cones import (  # noqa: E402
     PowerCone,
     PsdCone,
     PsdConeTriangle,
+    PsdConeTriangleColPad,
     PsdConeTriangleComplex,
     SecondOrderCone,
     ZeroSet,
@@ -99,6 +100,7 @@ __all__ = [
     "DensePsdCone",
     "PsdConeTriangle",
     "DensePsdConeTriangle",
+    "PsdConeTriangleColPad",
     "PsdConeTriangleComplex",
     "ExponentialCone",
     "DualExponentialCone",

@@ -175,6 +175,7 @@ def decompose(P, q, A, b, sets, settings, pad_batch: int = 1) -> Optional[Chorda
             P, q, A, b, sets, patterns,
             pad_to=int(getattr(settings, "psd_pad_to", 1)),
             pad_batch=int(pad_batch),
+            colpad_min=int(getattr(settings, "colpad_min", 512)),
         )
     return standard_transform(P, q, A, b, sets, patterns)
 

@@ -147,6 +147,7 @@ def compact_transform(
     patterns: List[SparsityPattern],
     pad_to: int = 1,
     pad_batch: int = 1,
+    colpad_min: int = 512,
 ) -> ChordalInfo:
     """Build the decomposed problem (reference: augment_clique_based!,
     transformations.jl:152-200).
@@ -184,6 +185,17 @@ def compact_transform(
     def _kb(nblk: int) -> int:
         return pad_side(nblk, pad_to) if pad_to > 1 else nblk
 
+    def _colpad(kb: int) -> bool:
+        # giant blocks take COLUMN-PADDED svec storage (models/cones.py
+        # PsdConeTriangleColPad): the projection's tri<->full conversion
+        # becomes a pure reshape+mask (measured 3.70 -> 0.018 ms/iter at
+        # kb=896 on v5e) at the cost of kb(kb-1)/2 extra structural-zero
+        # rows — free on the fused elementwise vector path
+        return pad_to > 1 and kb >= colpad_min
+
+    def _block_rows(kb: int) -> int:
+        return kb * kb if _colpad(kb) else tri_dim(kb)
+
     # --- per-pattern block layout plan: [(clique or None, nb, kb), ...] ---
     # cliques grouped by padded side (stable within a group: reverse post
     # order, reference add_entries! loop num_cliques:-1:1), dummies appended
@@ -200,7 +212,14 @@ def compact_transform(
         for kb in sorted(groups):
             for c, nblk in groups[kb]:
                 plan.append((c, nblk, kb))
-            if pad_batch > 1:
+            if pad_batch > 1 and len(groups[kb]) >= pad_batch:
+                # round the group up to the device count so batch sharding
+                # keeps the contiguous fast path. Groups SMALLER than the
+                # device count are left alone: parallel/mesh.shard_cones
+                # batch-replicates them and shards the projection over the
+                # matrix dimension instead — n_dev-fold dummy replication of
+                # a giant block was the dominant sharding waste (a [1, 896]
+                # clique padded to 8 blocks ran 8x 896^3 for 1 real block)
                 plan.extend(
                     [(None, 0, kb)] * ((-len(groups[kb])) % pad_batch)
                 )
@@ -213,7 +232,7 @@ def compact_transform(
         if k in pat_by_cone:
             t = pat_by_cone[k].tree
             for c, nblk, kb in plans[k]:
-                m_new += tri_dim(kb)
+                m_new += _block_rows(kb)
                 if c is not None:
                     num_overlaps += tri_dim(len(t.sep[c]))
         else:
@@ -248,19 +267,23 @@ def compact_transform(
         rs = row_start_orig
         plan = plans[k]
 
-        # row starts per clique in layout order
+        # row starts (and padded sides) per clique in layout order
         clique_row_start = {}
+        clique_kb = {}
         rp = row_ptr
         for c, nblk, kb in plan:
             if c is not None:
                 clique_row_start[c] = rp
-            rp += tri_dim(kb)
+                clique_kb[c] = kb
+            rp += _block_rows(kb)
 
         ordering = np.ascontiguousarray(ordering, dtype=np.int64)
         for c, nblk, kb in plan:
             if c is None:
                 # dummy block: all rows stay at the dump map / zero data
-                sets_new.append(C.PsdConeTriangle(tri_dim(kb)))
+                sets_new.append(
+                    C.PsdConeTriangleColPad(kb * kb) if _colpad(kb)
+                    else C.PsdConeTriangle(tri_dim(kb)))
                 continue
             snd_c = np.fromiter(t.snd[c], np.int64, len(t.snd[c]))
             sep_c = np.fromiter(t.sep[c], np.int64, len(t.sep[c]))
@@ -275,9 +298,13 @@ def compact_transform(
             gj = clique_sorted[jj]
             orig_rows = rs + gj * (gj + 1) // 2 + gi
             base = clique_row_start[c]
-            # svec entries of the real nb x nb block are the contiguous
-            # prefix of the padded block's rows (column-major triangle)
-            new_rows = base + np.arange(orig_rows.size)
+            if _colpad(kb):
+                # column-padded storage: entry (i, j) at stride-kb slot
+                new_rows = base + jj * kb + ii
+            else:
+                # svec entries of the real nb x nb block are the contiguous
+                # prefix of the padded block's rows (column-major triangle)
+                new_rows = base + np.arange(orig_rows.size)
             row_map[new_rows] = orig_rows
             is_ov = in_sep[ii] & in_sep[jj]
             data_mask[new_rows] = ~is_ov
@@ -290,11 +317,17 @@ def compact_transform(
                 # positions of (gi, gj) inside the sorted parent clique
                 pi = np.searchsorted(par_clique, gi[is_ov])
                 pj = np.searchsorted(par_clique, gj[is_ov])
-                parent_rows = par_row0 + pj * (pj + 1) // 2 + pi
+                kb_par = clique_kb[par]
+                if _colpad(kb_par):
+                    parent_rows = par_row0 + pj * kb_par + pi
+                else:
+                    parent_rows = par_row0 + pj * (pj + 1) // 2 + pi
                 ov_child_rows.append(new_rows[is_ov])
                 ov_parent_rows.append(parent_rows)
 
-            sets_new.append(C.PsdConeTriangle(tri_dim(kb)))
+            sets_new.append(
+                C.PsdConeTriangleColPad(kb * kb) if _colpad(kb)
+                else C.PsdConeTriangle(tri_dim(kb)))
 
         row_ptr = rp
         row_start_orig += cone.dim

@@ -299,7 +299,7 @@ class Model:
 
             n_dev = int(mesh.shape[BLOCK_AXIS])
         decomp_key = (settings.merge_strategy, settings.compact_transformation,
-                      settings.psd_pad_to, n_dev)
+                      settings.psd_pad_to, settings.colpad_min, n_dev)
         if settings.decompose and any(
             isinstance(s, (C.PsdCone, C.PsdConeTriangle)) and getattr(s, "decomposable", False)
             for s in sets
@@ -534,8 +534,15 @@ class Model:
             off = 0
             for s_ in sets:
                 d_ = s_.dim
-                if isinstance(s_, (C.PsdCone, C.PsdConeTriangle)):
-                    frac = float(ov[off:off + d_].mean())
+                if isinstance(s_, (C.PsdCone, C.PsdConeTriangle,
+                                   C.PsdConeTriangleColPad)):
+                    # overlap fraction over the REAL block rows: colpad
+                    # storage interleaves structural-zero pad slots that
+                    # must not dilute the per-block factor
+                    real = d_
+                    if isinstance(s_, C.PsdConeTriangleColPad):
+                        real = s_.side * (s_.side + 1) // 2
+                    frac = float(ov[off:off + d_].sum()) / max(real, 1)
                     if frac > 0.0:
                         scale[off:off + d_] = settings.rho_overlap_scale ** frac
                 off += d_

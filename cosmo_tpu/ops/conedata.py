@@ -34,11 +34,18 @@ from ..utils.pytrees import register_pytree_dataclass, static_field
 
 SQRT2 = np.sqrt(2.0)
 
-# geometric bucket ladder for PSD block padding: ~1.5x steps keep the
-# number of distinct batched-eig shapes small (few compiles) while capping
-# the padding FLOP waste at ~(1.5)^3
-GEOMETRIC_SIZES = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
-                   1024, 1536, 2048)
+# geometric bucket ladder for PSD block padding: ~1.5x steps below 256 keep
+# the number of distinct batched-eig shapes small (few compiles) while
+# capping the padding FLOP waste at ~(1.5)^3. From 256 up, the ladder
+# refines to 64-steps (then 128-steps past 1024): a giant block dominates
+# the whole projection (the 10k maxcut north-star's largest clique is 93%
+# of all projection FLOPs), its bucket holds one or two blocks regardless
+# of ladder density — so a finer ladder costs no extra compiles in practice
+# while a coarse one cubes the pad ratio (real side 887 padded to 1024 was
+# 1.54x wasted eig work and +131k dead rows in m).
+GEOMETRIC_SIZES = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 320, 384, 448,
+                   512, 576, 640, 704, 768, 832, 896, 960, 1024, 1152, 1280,
+                   1408, 1536, 1664, 1792, 1920, 2048)
 
 
 def pad_side(r: int, pad_to: int = 8) -> int:
@@ -92,7 +99,12 @@ class PsdBucket:
     #    and compression one flat [tri]-index gather from the k*k matrix.
     #    Measured at [8,256,256]: 3.88 -> 0.38 ms expand, 2.99 -> 0.37 ms
     #    compress vs the scalar-index maps.
-    fastpath: str = static_field(default="none")   # "none"|"matmul"|"shear"
+    #  * "colpad" (PsdConeTriangleColPad storage): the svec entries already
+    #    sit at a constant column stride r0 in v, so expansion is ONE
+    #    contiguous reshape + mask/scale + symmetrize and compression one
+    #    masked transpose — zero gathers (measured r0=896 on v5e: 3.70 ms
+    #    shear -> 0.018 ms).
+    fastpath: str = static_field(default="none")   # "none"|"matmul"|"shear"|"colpad"
     # per-bucket eigh backend override ("" = use the ConeData-global one).
     # "auto" resolution gives the single dominant small-k large-batch bucket
     # the Pallas Jacobi kernel and everyone else polar: at [1729, 8, 8] the
@@ -111,6 +123,13 @@ class PsdBucket:
     sh_scale: Any = None   # dtype [r0, r0] mask*scale  (shear, rows = cols)
     sh_flat: Any = None    # int32 [tri_len] flat (i*r0+j) map (shear)
     sh_csc: Any = None     # dtype [tri_len] compress scale     (shear)
+    cp_csc: Any = None     # dtype [r0, r0] compress mask*scale (colpad,
+                           # [j, i] layout: sqrt2 i<j, 1 i==j, 0 pads)
+    # optional NamedSharding over the MATRIX row dim (set by
+    # parallel.shard_cones for buckets whose batch is smaller than the
+    # mesh): the batched eig/polar matmuls then shard over rows of the
+    # block instead of replicating the whole k^3 projection per device
+    spec: Any = static_field(default=None)
 
 
 @register_pytree_dataclass
@@ -297,6 +316,15 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             rect_mask[rows] = True
             rect_seg[rows] = n_rect
             n_rect += 1
+        elif isinstance(cone, C.PsdConeTriangleColPad):
+            r = cone.side
+            # column-padded svec storage (see the cone class): side is
+            # emitted pre-padded by the chordal transform; the bucket side
+            # IS the storage stride, so no further ladder padding applies
+            psd_groups.setdefault((r, "colpad"), []).append((offset, r))
+            rect_mask[rows] = True
+            rect_seg[rows] = n_rect
+            n_rect += 1
         elif isinstance(cone, C.PsdConeTriangleComplex):
             r = cone.side
             if r <= 1:
@@ -430,8 +458,32 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
             s_idx[bb, iB, jB] = tb
             s_scl[bb, iB, jB] = scl_s[None, :]
 
+        # colpad blocks fill vectorized too: gather reads the stored upper
+        # entry for both (i,j) and (j,i); scatter writes the upper entries
+        # scaled and the strictly-lower PAD slots with scale 0 (so every v
+        # slot in the region is covered even on the non-fastpath route)
+        cp_blocks = [(b, o) for b, (o, r, kind) in enumerate(blocks)
+                     if kind == "colpad"]
+        if cp_blocks:
+            r = k
+            iu, ju = np.triu_indices(r)            # i <= j
+            t = ju * r + iu                        # stored slot (col-major)
+            scl_g = np.where(iu == ju, 1.0, 1.0 / SQRT2).astype(dtype)
+            scl_s = np.where(iu == ju, 1.0, SQRT2).astype(dtype)
+            il, jl = np.tril_indices(r, -1)        # i > j: pad slots
+            tl = jl * r + il
+            for b, o in cp_blocks:
+                g_idx[b, iu, ju] = o + t
+                g_idx[b, ju, iu] = o + t
+                g_scl[b, iu, ju] = scl_g
+                g_scl[b, ju, iu] = scl_g
+                s_idx[b, iu, ju] = o + t
+                s_scl[b, iu, ju] = scl_s
+                s_idx[b, il, jl] = o + tl
+                s_scl[b, il, jl] = 0.0
+
         for b, (o, r, kind) in enumerate(blocks):
-            if kind is False:
+            if kind is False or kind == "colpad":
                 continue                        # filled vectorized above
             if kind == "complex":
                 # H = A + iB packed as [svec(A); sqrt(2) * strict-upper(B)]
@@ -474,8 +526,24 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
         # (projections._psd_gather / project)
         fastpath, contig_start, tri_len, r0u = "none", -1, 0, 0
         expand = compress = None
-        sh_starts = sh_scale = sh_flat = sh_csc = None
+        sh_starts = sh_scale = sh_flat = sh_csc = cp_csc = None
         rs = {r for (_, r, _) in blocks}
+        if kinds == {"colpad"} and len(rs) == 1:
+            r0u = next(iter(rs))
+            offs = [o for (o, _, _) in blocks]
+            if all(offs[i + 1] - offs[i] == r0u * r0u
+                   for i in range(len(offs) - 1)):
+                fastpath = "colpad"
+                contig_start = int(offs[0])
+                tri_len = r0u * r0u           # region length per block
+                jr = np.arange(r0u)
+                mask = jr[None, :] <= jr[:, None]   # [j, i] rows = cols
+                sh_scale = np.where(
+                    jr[None, :] == jr[:, None], 1.0, 1.0 / SQRT2
+                ).astype(dtype) * mask
+                cp_csc = np.where(
+                    jr[None, :] == jr[:, None], 1.0, SQRT2
+                ).astype(dtype) * mask
         if kinds == {False} and len(rs) == 1:
             r0u = next(iter(rs))
             t0 = r0u * (r0u + 1) // 2
@@ -530,6 +598,7 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
                 sh_scale=sh_scale,
                 sh_flat=sh_flat,
                 sh_csc=sh_csc,
+                cp_csc=cp_csc,
             )
         )
 

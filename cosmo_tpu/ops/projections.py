@@ -56,6 +56,22 @@ def _psd_gather(v_ext, bucket: PsdBucket):
             v_ext, (bucket.contig_start,), (B * bucket.tri_len,)
         ).reshape(B, bucket.tri_len)
         return (V @ bucket.expand).reshape(B, bucket.side, bucket.side)
+    if bucket.fastpath == "colpad":
+        # column-padded svec storage (PsdConeTriangleColPad): the stored
+        # region IS a [r0, r0] matrix with columns as rows — expansion is
+        # one contiguous reshape + mask/scale + symmetrize, zero gathers
+        # (measured r0=896 on v5e: 3.70 ms shear -> 0.018 ms round trip)
+        B = bucket.gather_idx.shape[0]
+        r0 = bucket.r0
+        V = lax.dynamic_slice(
+            v_ext, (bucket.contig_start,), (B * r0 * r0,)
+        ).reshape(B, r0, r0)
+        U = V * bucket.sh_scale[None]                 # [B, j, i] masked
+        Ut = jnp.swapaxes(U, -1, -2)                  # upper triangular
+        d = jnp.einsum("bjj->bj", Ut)
+        return Ut + jnp.swapaxes(Ut, -1, -2) - jnp.einsum(
+            "bj,jk->bjk", d, jnp.eye(r0, dtype=U.dtype)
+        )
     if bucket.fastpath == "shear":
         # large k: svec columns are contiguous runs, so the expansion is
         # r0 slice-gathers (one structured gather) + mask/scale +
@@ -167,6 +183,11 @@ def project(w2, cones: ConeData, eig_state=(), loose=None):
     new_state = []
     for i, bucket in enumerate(cones.psd_buckets):
         X = _psd_gather(v_ext, bucket)
+        if bucket.spec is not None:
+            # mesh-sharded giant bucket (batch < n_dev): pin the block stack
+            # to shard over the matrix row dim so the polar/Jacobi matmuls
+            # split O(k^3)/n_dev per device (parallel/mesh.shard_cones)
+            X = lax.with_sharding_constraint(X, bucket.spec)
         if backend == "amortized":
             Y, V = eigh_mod.psd_project_amortized(
                 X, eig_state[i], warm_sweeps=2,
@@ -178,6 +199,14 @@ def project(w2, cones: ConeData, eig_state=(), loose=None):
         if bucket.fastpath == "matmul":
             B = bucket.gather_idx.shape[0]
             T = (Y.reshape(B, bucket.side * bucket.side) @ bucket.compress)
+            s = lax.dynamic_update_slice(
+                s, T.reshape(-1), (bucket.contig_start,)
+            )
+        elif bucket.fastpath == "colpad":
+            B = bucket.gather_idx.shape[0]
+            r0 = bucket.r0
+            # [j, i] layout: upper entries scaled, pad slots exactly 0
+            T = jnp.swapaxes(Y, -1, -2) * bucket.cp_csc[None]
             s = lax.dynamic_update_slice(
                 s, T.reshape(-1), (bucket.contig_start,)
             )
