@@ -140,8 +140,18 @@ def update(aa: AccelState, g, x, memory: str = "restarted",
     push = aa.have_last & ~full
     if gate is not None:
         push = push & gate
-    df_row = jnp.where(push, f - aa.f_last, aa.dF[slot])
-    dg_row = jnp.where(push, g - aa.g_last, aa.dG[slot])
+    # Sanitize the written rows: a non-finite secant (overflow episode on a
+    # divergent trajectory) must never enter the history — once stored, it
+    # poisons w_acc even after the row goes inactive (gamma is zeroed on
+    # inactive rows but 0 * inf = NaN through the unmasked `gamma @ dG`),
+    # silently suppressing acceleration until the slot is overwritten. A
+    # zero row is the safe encoding: the Gram's rank test then fails and the
+    # candidate is declined, exactly like the old masked-history behavior.
+    df_new = f - aa.f_last
+    dg_new = g - aa.g_last
+    row_ok = jnp.all(jnp.isfinite(df_new)) & jnp.all(jnp.isfinite(dg_new))
+    df_row = jnp.where(push & row_ok, df_new, jnp.where(push, 0.0, aa.dF[slot]))
+    dg_row = jnp.where(push & row_ok, dg_new, jnp.where(push, 0.0, aa.dG[slot]))
     dF = aa.dF.at[slot].set(df_row)
     dG = aa.dG.at[slot].set(dg_row)
     count = jnp.where(

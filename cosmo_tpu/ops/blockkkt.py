@@ -201,8 +201,12 @@ def analyze(P, A, max_block: int = 64) -> BlockKKTMeta | None:
         rows_b = rows_nz[rmask]
         rloc = local[rcomp[rmask]]
         rows_per = np.bincount(rloc, minlength=N)
+        # exact max rows per component: the df32 pairwise reductions pad to
+        # a power of two internally (df32._pairwise_sum), so pow2-padding R
+        # here only inflated the per-iteration [N, R] row gather/scatter —
+        # measured ~6.6 ns per gathered element on v5e, 21% of the m-side
+        # movement at the 10k north-star was R padding
         R = 1 if rows_b.size == 0 else int(rows_per.max())
-        R = 1 << (R - 1).bit_length()
         slot_order = np.argsort(rloc, kind="stable")
         slot = np.empty(rows_b.size, np.int64)
         rstart = np.zeros(N + 1, np.int64)
@@ -536,6 +540,94 @@ def _solve_fused_refined(meta: BlockKKTMeta, state, rho_vec, r1, r2,
     return x_out[:meta.n], nu_out[:m]
 
 
+def supports_blockspace(meta) -> bool:
+    """True when every bucket carries the block-dense A (row_ids) and no
+    mesh sharding spec — the preconditions of the block-space x carry
+    (:func:`solve_blockspace`)."""
+    return (
+        meta is not None
+        and len(meta.buckets) > 0
+        and all(b.row_ids is not None and b.spec is None
+                for b in meta.buckets)
+    )
+
+
+def blockspace_cols(meta: BlockKKTMeta):
+    """The concatenated member-column map [sum(N_b k_b)] over all buckets
+    (pad slots == n). Components partition the columns, so this lists every
+    column exactly once plus pads — the (static) permutation between the
+    n-space x and its block-space layout. Trace-safe: ``cols`` may be a
+    traced leaf inside the jitted solve; the concat is loop-invariant and
+    hoisted."""
+    if not meta.buckets:
+        return jnp.zeros(0, jnp.int32)
+    return jnp.concatenate(
+        [jnp.asarray(b.cols, jnp.int32).reshape(-1) for b in meta.buckets])
+
+
+def blockspace_dim(meta: BlockKKTMeta) -> int:
+    """Static length of the block-space x layout (sum of N_b k_b)."""
+    return int(sum(b.N * b.k for b in meta.buckets))
+
+
+def solve_blockspace(meta: BlockKKTMeta, state, rho_vec, r1g, r2,
+                     refine_steps: int = 0):
+    """Fused solve with the x-space kept in the concatenated block layout.
+
+    ``r1g`` is r1 already in block space (``r1_n`` gathered at
+    :func:`blockspace_cols` — the solver keeps w1/q there permanently);
+    returns ``(xg, nu)`` with ``xg`` in the same layout. This removes the
+    per-iteration n-space index movement entirely: the round-5 split
+    measured the fused solve as ~100% gather/scatter (rows 3.2 ms + cols
+    1.7 ms gathers, x 1.5 ms + nu 2.9 ms scatters at the 10k north-star;
+    einsums 5.5 us) — the cols gather and x scatter become static slices
+    and a concat here. Same rho_vec-must-match-factor contract as
+    :func:`solve`. Elementwise/reduction order matches :func:`_solve_fused`
+    bitwise for the shared math.
+    """
+    dtype = r1g.dtype
+    m = r2.shape[0]
+    r2p = jnp.concatenate([r2, jnp.zeros(1, dtype)])
+    nu_out = jnp.concatenate([rho_vec * (0.0 - r2), jnp.zeros(1, dtype)])
+    xs = []
+    off = 0
+    has_pair = len(state) > 0 and len(state[0]) == 5
+    for b, st in zip(meta.buckets, state):
+        Minv, Ad, rhog = st[0], st[-2], st[-1]
+        rows = jnp.asarray(b.row_ids)
+        r2g = r2p[rows]
+        r1b = r1g[off:off + b.N * b.k].reshape(b.N, b.k)
+        off += b.N * b.k
+        if refine_steps > 0 and has_pair:
+            Mh, Ml = st[1], st[2]
+            ph, pl = df32.two_prod(rhog, r2g)
+            p, e = df32.two_prod(Ad, ph[:, :, None])
+            e = e + Ad * pl[:, :, None]
+            hi, lo = df32._pairwise_sum(
+                jnp.swapaxes(p, 1, 2), jnp.swapaxes(e, 1, 2), axis=2
+            )
+            th, tl = df32.add((hi, lo), df32.promote(r1b))
+            xp = df32.promote(jnp.einsum("nij,nj->ni", Minv, th))
+            for _ in range(refine_steps):
+                Xh = xp[0][:, None, :]
+                Xl = xp[1][:, None, :]
+                pp, ee = df32.two_prod(Mh, Xh)
+                ee = ee + Mh * Xl + Ml * Xh
+                mh, ml = df32._pairwise_sum(pp, ee, axis=2)
+                rr = df32.to_f32(df32.add((th, tl), (-mh, -ml)))
+                xp = df32.add(
+                    xp, df32.promote(jnp.einsum("nij,nj->ni", Minv, rr))
+                )
+            xb = df32.to_f32(xp)
+        else:
+            tb = r1b + jnp.einsum("nrk,nr->nk", Ad, rhog * r2g)
+            xb = jnp.einsum("nij,nj->ni", Minv, tb)
+        nub = rhog * (jnp.einsum("nrk,nk->nr", Ad, xb) - r2g)
+        xs.append(xb.reshape(-1))
+        nu_out = nu_out.at[rows.reshape(-1)].set(nub.reshape(-1))
+    return jnp.concatenate(xs), nu_out[:m]
+
+
 def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
           refine_steps: int = 0):
     """Solve the KKT system through the cached block inverses.
@@ -545,6 +637,13 @@ def solve(meta: BlockKKTMeta, state, P, A, sigma, rho_vec, r1, r2,
     When the state carries pair-valued blocks (factor(build_pair=True)),
     the refinement residual uses the batched block pair-matvec; otherwise
     it falls back to the global compensated COO passes.
+
+    ``rho_vec`` MUST be the vector the ``state`` was factored with: the
+    fused path reads the factor-time cached per-row rho (``rhog``) for
+    covered rows and the argument only for uncovered ones, so a stale
+    argument silently produces inconsistent nu across the two row classes.
+    The in-tree solver always refactors on rho changes (solver.adapt_rho);
+    direct callers changing rho must call :func:`factor` first.
     """
     use_block_A = len(state) > 0 and all(st[-2] is not None for st in state)
     m = r2.shape[0]

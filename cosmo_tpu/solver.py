@@ -213,6 +213,36 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     if use_block and kkt_block is None:
         raise ValueError("kkt_solver='blockdiag' needs the BlockKKTMeta "
                          "structure (pass kkt_block=blockkkt.analyze(P, A))")
+
+    # Block-space x carry (blockkkt.solve_blockspace): when the fused
+    # block-diagonal KKT applies, the x half of the operator variable w is
+    # kept PERMANENTLY in the concatenated component layout — the
+    # per-iteration cols gather and x scatter (measured 1.7 + 1.5 ms at the
+    # 10k north-star; XLA TPU's gather engine runs ~6.6 ns/element) become
+    # static slices. Components partition the columns, so the layout is a
+    # padded permutation of x: pad slots stay exactly 0 (q/x0 pads are 0
+    # and the padded KKT blocks solve them to 0), norms and AA secants are
+    # unchanged. n-space x is materialized only at the periodic checks and
+    # at exit (x_from_block, one scatter amortized over check_termination).
+    use_bspace = use_block and blockkkt.supports_blockspace(kkt_block)
+    if use_bspace:
+        cols_map = blockkkt.blockspace_cols(kkt_block)
+        nx = blockkkt.blockspace_dim(kkt_block)
+
+        def x_to_block(xv):
+            return jnp.concatenate([xv, jnp.zeros(1, dtype)])[cols_map]
+
+        def x_from_block(xg):
+            return jnp.zeros(n + 1, dtype).at[cols_map].set(xg)[:n]
+    else:
+        nx = n
+
+        def x_to_block(xv):
+            return xv
+
+        def x_from_block(xg):
+            return xg
+    qx = x_to_block(q)
     if custom_kkt:
         # user plug-in (reference: AbstractKKTSolver, kktsolver.jl:5-11)
         kkt_state = static.kkt_solver.setup(P, A, dyn.sigma, rho_vec)
@@ -254,6 +284,11 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                     kkt_state, P, A, dyn.sigma, rho_vec, r1, r2, steps,
                 )
                 return xt, nu, jnp.zeros((), jnp.int32)
+            if use_bspace:
+                xt, nu = blockkkt.solve_blockspace(
+                    kkt_block, kkt_state, rho_vec, r1, r2, steps,
+                )
+                return xt, nu, jnp.zeros((), jnp.int32)
             if use_block:
                 xt, nu = blockkkt.solve(
                     kkt_block, kkt_state, P, A, dyn.sigma, rho_vec, r1, r2,
@@ -288,19 +323,21 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
     def admm_x_w(w, s, kkt_state, rho_vec, sol_prev, admm_iter, res_min,
                  refine_on):
-        """admm_x! then admm_w! (solver.jl:32-65). Returns (w_new, sol)."""
-        r1 = dyn.sigma * w[:n] - q
-        r2 = b - 2.0 * s + w[n:]
+        """admm_x! then admm_w! (solver.jl:32-65). Returns (w_new, sol).
+        The x half of w (and of sol) lives in block space when
+        ``use_bspace`` — q rides along as ``qx`` in the same layout."""
+        r1 = dyn.sigma * w[:nx] - qx
+        r2 = b - 2.0 * s + w[nx:]
         xt, nu, k = kkt_solve(kkt_state, rho_vec, r1, r2, sol_prev, admm_iter,
                               res_min, refine_on)
-        s_tl = 2.0 * s - w[n:] - nu / rho_vec
-        w1 = w[:n] + dyn.alpha * (xt - w[:n])
-        w2 = w[n:] + dyn.alpha * (s_tl - s)
+        s_tl = 2.0 * s - w[nx:] - nu / rho_vec
+        w1 = w[:nx] + dyn.alpha * (xt - w[:nx])
+        w2 = w[nx:] + dyn.alpha * (s_tl - s)
         return jnp.concatenate([w1, w2]), jnp.concatenate([xt, nu]), k
 
     def recover_mu(w_prev, s, rho_vec):
         """Moreau: mu = rho (w - Pi(w)) (solver.jl:23-26)."""
-        return rho_vec * (w_prev[n:] - s)
+        return rho_vec * (w_prev[nx:] - s)
 
     # identity eigenbasis carry for the certificate shadow projections: the
     # amortized backend's staleness guard then always runs full sweeps —
@@ -317,8 +354,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             status=jnp.asarray(results.UNDETERMINED, jnp.int32)
         )
     else:
-        w0 = jnp.concatenate([x, s0v + mu / rho_vec])
-        sol0 = jnp.zeros(n + m, dtype)
+        w0 = jnp.concatenate([x_to_block(x), s0v + mu / rho_vec])
+        sol0 = jnp.zeros(nx + m, dtype)
         refine_on0 = jnp.asarray(not refine_gated)
         # initialisation half-step so iterates agree with standard ADMM
         w0, sol0, kkt_it0 = admm_x_w(
@@ -330,7 +367,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         res0 = res_ops.ResInfo(big, big, jnp.zeros((), dtype), jnp.zeros((), dtype))
 
         if static.accel_mem > 0:
-            aa0 = accel.init_accel(n + m, static.accel_mem, dtype)
+            aa0 = accel.init_accel(nx + m, static.accel_mem, dtype)
         else:
             aa0 = ()
         eig0 = eig_fresh
@@ -346,7 +383,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             rho_vec=rho_vec,
             kkt=kkt_state,
             sol=sol0,
-            dx=jnp.zeros(n, dtype),
+            dx=jnp.zeros(nx, dtype),
             dy=jnp.zeros(m, dtype),
             gx=jnp.zeros(n, dtype),
             gy=jnp.zeros(m, dtype),
@@ -392,7 +429,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
     def adapt_rho(c: LoopCarry) -> LoopCarry:
         mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
-        x_k = c.w_prev[:n]
+        x_k = x_from_block(c.w_prev[:nx])
         if compensated_res:
             rp, rd, mp, md = lax.cond(
                 c.refine_on,
@@ -419,7 +456,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             kkt_new = kkt_setup(rho_vec)
             # re-express w in the new scaling (solver.jl:278)
             w2 = mu_k / rho_vec + c.s
-            w = jnp.concatenate([c.w[:n], w2])
+            w = jnp.concatenate([c.w[:nx], w2])
             idx = jnp.minimum(c.n_rho_adapt + 1, RHO_LOG_LEN - 1)
             aa = accel.restart(c.aa) if static.accel_mem > 0 else ()
             return c._replace(
@@ -461,7 +498,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
 
     def check_termination(c: LoopCarry) -> LoopCarry:
         mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
-        x_k = c.w_prev[:n]
+        x_k = x_from_block(c.w_prev[:nx])
         info = _result_info_rt(c, x_k, c.s, mu_k)
         cost = res_ops.calculate_cost(P, q, x_k, sm.cinv)
 
@@ -469,6 +506,15 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         status = jnp.where(jnp.abs(cost) > 1e20, results.UNSOLVED, status)
 
         conv = res_ops.has_converged(info, dyn.eps_abs, dyn.eps_rel)
+        if refine_gated:
+            # Never declare SOLVED off an uncompensated measurement: a solve
+            # that jumps from rel > kkt_refine_switch to below tolerance
+            # within one check interval would otherwise terminate on a
+            # plain-f32 residual that can sit at the noise floor (ADVICE r4).
+            # Requiring the latch costs at most one extra check interval —
+            # `conv` implies rel < switch, so the latch trips this same check
+            # and the next check measures compensated.
+            conv &= c.refine_on
         if static.check_obj_true:
             conv &= jnp.abs(dyn.obj_true - cost) <= dyn.obj_true_tol
         status = jnp.where(
@@ -496,8 +542,17 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 score < 0.95 * c.ref_best, 0, c.ref_stall + 1
             )
             near_switch = rel < 50.0 * dyn.kkt_refine_switch
+            # Last-resort escape (ADVICE r4): a problem whose plain-f32
+            # residual floor sits MORE than 50x above the switch (extreme
+            # kappa) would otherwise never engage refinement and run to
+            # max_iter. 16 stagnant checks (~400 iterations without a 5%
+            # improvement) separates that from the early transient plateaus
+            # the near-switch gate exists for (those resolved within 4-8
+            # checks on every measured repro).
             trip = (
-                (rel < dyn.kkt_refine_switch) | ((stall >= 4) & near_switch)
+                (rel < dyn.kkt_refine_switch)
+                | ((stall >= 4) & near_switch)
+                | (stall >= 16)
             ) & ~c.refine_on
             c = c._replace(
                 refine_on=c.refine_on | trip,
@@ -625,7 +680,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # the shadow's current state) — every endpoint is a plain-operator
         # iterate, so the certified direction never spans an Anderson jump
         dy = c.dy - c.mu_sh
-        dx = c.w_sh[:n] - c.dx
+        dx = c.w_sh[:nx] - c.dx          # block space (carry layout)
+        dx_n = x_from_block(dx)          # n-space for the certificates
         # strict + 100x-loose certificates from ONE pass (the loose ones
         # gate the window escalation below; the expensive batched PSD
         # eigendecompositions are shared — XLA does not CSE eigh calls)
@@ -634,7 +690,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             (dyn.eps_prim_inf, 100.0 * dyn.eps_prim_inf),
         )
         dual_inf, dual_loose = infeas.is_dual_infeasible_multi(
-            dx, P, A, q, cones, sm,
+            dx_n, P, A, q, cones, sm,
             (dyn.eps_dual_inf, 100.0 * dyn.eps_dual_inf),
         )
         # Escalation-gate evidence from the MAIN trajectory's check-to-check
@@ -651,7 +707,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # them entirely (they cost two extra batched-PSD membership
         # batteries, ~12% of banded-2000 throughput when run every check).
         mu_now = recover_mu(c.w_prev, c.s, c.rho_vec)
-        x_now = c.w_prev[:n]
+        x_now = x_from_block(c.w_prev[:nx])
         score = c.res.r_prim / (c.res.max_norm_prim + 1e-10) + c.res.r_dual / (
             c.res.max_norm_dual + 1e-10
         )
@@ -837,15 +893,15 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 # trips the staleness guard, which falls back to full
                 # sweeps — a fresh projection.
                 s_sh, _ = projections.project(
-                    c.w_sh[n:], cones, eig_fresh,
+                    c.w_sh[nx:], cones, eig_fresh,
                     loose=c.loose if static.mixed_precision else None,
                 )
-                mu_sh = c.rho_vec * (c.w_sh[n:] - s_sh)
+                mu_sh = c.rho_vec * (c.w_sh[nx:] - s_sh)
                 # base capture on the first step after arm: mu_sh is the
                 # Moreau image of the fork point itself
                 is_base = c.dy_age == 0
                 dy = jnp.where(is_base, mu_sh, c.dy)
-                dx = jnp.where(is_base, c.w_sh[:n], c.dx)
+                dx = jnp.where(is_base, c.w_sh[:nx], c.dx)
                 res_min_sh = jnp.minimum(c.res.r_prim, c.res.r_dual)
                 w_sh, _, k_sh = admm_x_w(
                     c.w_sh, s_sh, c.kkt, c.rho_vec, c.sol, it, res_min_sh,
@@ -864,7 +920,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         # --- ADMM step ---
         c = c._replace(w_prev=c.w)
         s, eig = projections.project(
-            c.w[n:], cones, c.eig,
+            c.w[nx:], cones, c.eig,
             loose=c.loose if static.mixed_precision else None,
         )
         c = c._replace(s=s, eig=eig)
@@ -977,7 +1033,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
     # post-processing (solver.jl:167-201)
     # ------------------------------------------------------------------
     mu_final = recover_mu(c.w_prev, c.s, c.rho_vec)
-    x_final = c.w_prev[:n]
+    x_final = x_from_block(c.w_prev[:nx])
 
     def finalize_maxiter(c: LoopCarry) -> LoopCarry:
         info = _result_info_rt(c, x_final, c.s, mu_final)
