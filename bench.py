@@ -281,6 +281,84 @@ def _bench_maxcut_sparse(n_nodes=2000):
     )
 
 
+def _bench_maxcut_default(n_nodes=2000):
+    """maxcut-2000 solved to 1e-5 with DEFAULT machinery (Anderson +
+    adaptive rho + infeasibility certificates all on) — makes the 15-30%
+    control-machinery overhead driver-visible so regressions in the
+    AA/rho/cert paths show up in BENCH json (VERDICT r4 #4). Warm solve:
+    the second optimize() isolates the iteration phase. ADMM+AA iteration
+    counts are chaotic across numeric changes, so the load-bearing numbers
+    are iters_per_s and solver_s, not the count."""
+    import cosmo_tpu as cosmo
+    from cosmo_tpu import problems
+
+    P, q, A, b, sets, _ = problems.maxcut(
+        n_nodes=n_nodes, density=4.0 / n_nodes, seed=0, sparse=True
+    )
+    model = cosmo.Model(cosmo.Settings(
+        eps_abs=1e-5, eps_rel=1e-5, max_iter=20_000, decompose=True,
+        dtype=np.float32,
+    ))
+    model.set(P, q, A, b, sets)
+    model.optimize()          # cold: compile + decomposition
+    rep = []
+    for _ in range(2):
+        r = model.optimize()  # warm
+        rep.append(r)
+    r = rep[-1]
+    return dict(
+        label=f"maxcut_{n_nodes}_default_settings",
+        status=r.status, iter=int(r.iter),
+        solver_s=round(r.times.solver_time, 2),
+        iters_per_s=round(
+            max(rr.iter / max(rr.times.iter_time, 1e-9) for rr in rep), 2),
+        n_rho_adapt=int(len(np.atleast_1d(r.info.rho_updates)) - 1),
+    )
+
+
+def _bench_maxcut10k(seeds=3, time_budget_s=900.0):
+    """The literal BASELINE.json north-star: 10k-node maxcut SDP solved to
+    1e-5 with f32 defaults, warm, over up to ``seeds`` random graphs.
+    Captured as a bench shape so BENCH_r*.json records the target verbatim
+    (VERDICT r4 #1). ``time_budget_s`` bounds total cost: seeds beyond the
+    budget are skipped (seeds_run reports how many ran)."""
+    import cosmo_tpu as cosmo
+    from cosmo_tpu import problems
+
+    t_start = time.perf_counter()
+    runs = []
+    for seed in range(seeds):
+        if runs and time.perf_counter() - t_start > time_budget_s:
+            break
+        P, q, A, b, sets, _ = problems.maxcut(
+            n_nodes=10_000, density=4.0 / 10_000, seed=seed, sparse=True
+        )
+        model = cosmo.Model(cosmo.Settings(
+            eps_abs=1e-5, eps_rel=1e-5, max_iter=20_000,
+            time_limit=600.0, decompose=True, dtype=np.float32,
+        ))
+        model.set(P, q, A, b, sets)
+        model.optimize()                # cold: compile + decomposition
+        r = model.optimize()            # warm: the measured phase
+        runs.append(dict(
+            seed=seed, status=r.status, iter=int(r.iter),
+            solver_s=round(r.times.solver_time, 1),
+            iters_per_s=round(r.iter / max(r.times.iter_time, 1e-9), 1),
+        ))
+    times = [r["solver_s"] for r in runs]
+    return dict(
+        label="maxcut_10000_northstar_literal",
+        iters_per_s=round(float(np.median(
+            [r["iters_per_s"] for r in runs])), 2),
+        seeds_run=len(runs),
+        solver_s_median=float(np.median(times)),
+        solver_s_max=max(times),
+        all_solved=all(r["status"] == "Solved" for r in runs),
+        target_s=100.0,     # VERDICT r4 #1 done-bar: warm solve <= 100 s
+        runs=runs,
+    )
+
+
 def _bench_northstar(seeds=3, nodes=10_000, time_budget_s=1200.0):
     """The north-star metric itself (BASELINE.md): median warm solve of the
     chordally decomposed banded 10k-node SDP to 1e-5, over >= 3 seeds —
@@ -340,8 +418,9 @@ def main():
     s1r = _bench_block_sdp(N_BLOCKS, SIDE, NVAR, "block_sdp_512x16_refined",
                            refine_steps=1)
     s1r.pop("problem")
-    # the Pallas Jacobi kernel showcase (opt-in: it intermittently faults
-    # the TPU worker under sustained runs, so "auto" resolves to polar)
+    # explicit Pallas Jacobi kernel row ("auto" already resolves to pallas
+    # for this single-small-bucket plain-ADMM shape — the row pins the
+    # backend so a change in the auto rule stays visible cross-round)
     s1p = _bench_block_sdp(N_BLOCKS, SIDE, NVAR, "block_sdp_512x16_pallas",
                            eigh_backend="pallas")
     s1p.pop("problem")
@@ -359,9 +438,12 @@ def main():
     s1["cpu_baseline_iters_per_s"] = round(base_ips, 2)
     s1["vs_baseline"] = round(s1["iters_per_s"] / base_ips, 3)
 
-    shapes = [s1, s1d, s1r, s1p, s2, s2m, s3]
+    s3d = _bench_maxcut_default()
+
+    shapes = [s1, s1d, s1r, s1p, s2, s2m, s3, s3d]
     if os.environ.get("COSMO_BENCH_NORTHSTAR", "1") != "0":
         shapes.append(_bench_northstar())
+        shapes.append(_bench_maxcut10k())
 
     print(
         json.dumps(

@@ -39,38 +39,58 @@ def psd_cost_report(cones, n_dev: int) -> dict:
     (pre-sharding) ConeData over an ``n_dev``-device mesh.
 
     Cost model: one PSD projection of a side-k block is O(k^3) (Jacobi
-    sweeps and polar iterations are both cubic). GSPMD splits EVERY
-    bucket's batch dim evenly across the mesh, so each device holds exactly
-    ``ceil(B_i/n_dev)`` blocks of every side k_i — the per-device cost
-    shares are equal BY CONSTRUCTION and the max/mean imbalance ratio is
-    1.0 (greedy bin-packing of whole blocks could never beat an even split
-    of every bucket). What is NOT free is padding: bucket batches are
-    padded to a multiple of n_dev with dummy dump-slot blocks that do the
-    same k^3 work, so the real lever is ``pad_waste`` = padded cost over
-    real-block cost (dummy blocks come from the transform's
-    ``pad_batch=n_dev`` and from _pad_batch here; a 1-block side-192
-    bucket on 8 devices runs 8 projections for 1 real block).
+    sweeps and polar iterations are both cubic). Sharding layout
+    (matching :func:`shard_cones`):
+
+    * buckets with B >= n_dev shard the batch dim; the batch is padded to
+      a multiple of n_dev with dummy dump-slot blocks that do the same k^3
+      work, so each device holds ``(B + pad)/n_dev`` blocks;
+    * buckets with B < n_dev keep the batch replicated and shard the
+      projection over the MATRIX row dim — per-device compute is
+      ``B k^3 / n_dev`` plus one [k, k] all-gather per polar matmul riding
+      ICI (counted separately as ``ici_bytes_scale``; not FLOPs).
+
+    ``pad_waste`` = sum over devices of the max device cost, over the
+    real-block cost — the wall-clock inflation vs a perfect split of the
+    real work. ``imbalance`` = max/mean of the per-device cost vector
+    (computed, not assumed: every bucket splits evenly under this layout,
+    so any value > 1.0 indicates a layout bug).
     """
     buckets = []
+    per_dev = np.zeros(n_dev)
     cost_real = 0.0
-    cost_pad = 0.0
+    ici_bytes = 0.0
     for bkt in cones.psd_buckets:
         B = int(bkt.gather_idx.shape[0])
         k = int(bkt.side)
         # dummy blocks gather only the dump slot: all scales exactly 0
         scal = np.asarray(bkt.gather_scale)
         b_real = int(np.sum(np.any(scal != 0, axis=(1, 2))))
-        b_tot = B + ((-B) % n_dev)
         cost_real += b_real * k**3
-        cost_pad += b_tot * k**3
-        buckets.append(dict(k=k, B_real=b_real, B_padded=b_tot,
-                            local_per_device=b_tot // n_dev))
+        if B < n_dev:
+            # matrix-dim sharded: compute splits exactly; ~49 polar matmuls
+            # each all-gather the [k, k] iterate (4-byte f32)
+            per_dev += B * k**3 / n_dev
+            ici_bytes += 49 * B * k * k * 4
+            buckets.append(dict(k=k, B_real=b_real, B_padded=B,
+                                layout="matrix_sharded",
+                                local_per_device=B))
+        else:
+            b_tot = B + ((-B) % n_dev)
+            per_dev += (b_tot // n_dev) * k**3
+            buckets.append(dict(k=k, B_real=b_real, B_padded=b_tot,
+                                layout="batch_sharded",
+                                local_per_device=b_tot // n_dev))
+    ideal = cost_real / n_dev
     return dict(
         n_dev=n_dev,
-        imbalance=1.0,   # even per-bucket split: equal device shares, exact
-        pad_waste=round(cost_pad / cost_real, 4) if cost_real else 1.0,
+        imbalance=round(float(per_dev.max() / per_dev.mean()), 4)
+        if per_dev.mean() else 1.0,
+        pad_waste=round(float(per_dev.max() * n_dev / cost_real), 4)
+        if cost_real else 1.0,
         cost_real_flops_scale=cost_real,
-        cost_padded_flops_scale=cost_pad,
+        cost_per_device_scale=float(per_dev.max()),
+        ici_bytes_scale=ici_bytes,
         buckets=buckets,
     )
 
@@ -138,6 +158,32 @@ def shard_cones(mesh: Mesh, cones, axis: str = BLOCK_AXIS):
     )
 
     def _shard_psd(bkt):
+        B = int(bkt.gather_idx.shape[0])
+        if B < d:
+            # fewer blocks than devices: batch sharding would replicate the
+            # whole bucket as n_dev-fold dummy work (a [1, 896] clique
+            # padded to 8 blocks ran 8x 896^3 for 1 real block — the
+            # dominant sharding waste of the 10k maxcut layout). Keep the
+            # batch replicated and shard the projection over the MATRIX row
+            # dimension instead (PsdBucket.spec): the polar/Jacobi matmuls
+            # split O(k^3)/n_dev per device with one all-gather of the
+            # [k, k] iterate per matmul riding ICI.
+            rput_all = lambda x: _put(x, rep) if x is not None else None
+            return dataclasses.replace(
+                bkt,
+                gather_idx=_put(bkt.gather_idx, rep),
+                gather_scale=_put(bkt.gather_scale, rep),
+                scatter_idx=_put(bkt.scatter_idx, rep),
+                scatter_scale=_put(bkt.scatter_scale, rep),
+                expand=rput_all(bkt.expand),
+                compress=rput_all(bkt.compress),
+                sh_starts=rput_all(bkt.sh_starts),
+                sh_scale=rput_all(bkt.sh_scale),
+                sh_flat=rput_all(bkt.sh_flat),
+                sh_csc=rput_all(bkt.sh_csc),
+                cp_csc=rput_all(bkt.cp_csc),
+                spec=NamedSharding(mesh, P(None, axis, None)),
+            )
         # The selection-matmul fast path survives sharding whenever the
         # bucket's batch already divides the mesh (the compact transform
         # pads block counts with dummy blocks when built with
@@ -164,6 +210,7 @@ def shard_cones(mesh: Mesh, cones, axis: str = BLOCK_AXIS):
             sh_scale=rput(bkt.sh_scale),
             sh_flat=rput(bkt.sh_flat),
             sh_csc=rput(bkt.sh_csc),
+            cp_csc=rput(bkt.cp_csc),
         )
 
     psd = tuple(_shard_psd(bkt) for bkt in cones.psd_buckets)
