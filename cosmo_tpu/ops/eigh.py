@@ -234,9 +234,16 @@ def psd_project_polar(X, quintic_iters: int = 9, cubic_iters: int = 6,
     def mm(U, V):
         return jnp.einsum("bij,bjk->bik", U, V, precision=precision)
 
+    eye = jnp.eye(X.shape[-1], dtype=X.dtype)
+
     def quintic(_, Z):
+        # W = Z (aI + b Y + c Y^2), Y = Z^2 — 3 matmuls instead of the
+        # 4 of the aZ + b ZY + c Z(YY) form (same iteration: Z and Y
+        # commute exactly in exact arithmetic, and the symmetrization
+        # absorbs the rounding skew either way). 9 quintic steps = 27 of
+        # the 40 total matmuls, so this is ~18% off the whole polar pass.
         Y = mm(Z, Z)
-        W = a * Z + bq * mm(Z, Y) + cq * mm(Z, mm(Y, Y))
+        W = mm(Z, a * eye + bq * Y + cq * mm(Y, Y))
         return 0.5 * (W + jnp.swapaxes(W, -1, -2))
 
     def cubic(_, Z):

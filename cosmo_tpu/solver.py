@@ -48,6 +48,34 @@ RHO_LOG_LEN = 64
 # reference cadence.
 INFEAS_PLAIN_WINDOW = 1
 
+# --------------------------------------------------------------------------
+# Control-lattice constants (trace-time). Each was tuned on measured repros
+# (see the comments at the use sites) and swept across the full battery by
+# scripts/sweep_constants.py — module-level so the sweep can vary one per
+# process; they are read at trace time, so changing them after a solve has
+# compiled in the same process has no effect on the cached program.
+# --------------------------------------------------------------------------
+# refined-endgame latch: stagnation fallback fires after this many checks
+# without a 5% residual-score improvement, but only within
+# REFINE_NEAR_SWITCH x of the switch; REFINE_STALL_LAST_RESORT is the
+# far-from-switch escape for extreme-kappa floors.
+REFINE_STALL_CHECKS = 4
+REFINE_NEAR_SWITCH = 50.0
+REFINE_STALL_LAST_RESORT = 16
+# Anderson safeguard: a trip with score > AA_STRIKE_FACTOR x best is a
+# "strike" (divergence evidence); AA_STRIKE_KILL strikes disable AA for the
+# rest of the solve; a suspended accelerator only re-arms while score is
+# within AA_REARM_FACTOR x of best.
+AA_STRIKE_FACTOR = 100.0
+AA_STRIKE_KILL = 2
+AA_REARM_FACTOR = 10.0
+# forced deadband-free rho re-adaptations per solve, fired on an AA trip
+# while residuals are far from termination.
+FORCED_RHO_BUDGET = 2
+# consecutive stagnant+evidence checks before the certificate shadow
+# window escalates.
+ESCALATE_STAG_CHECKS = 2
+
 # rho row classes (reference: src/parameters.jl:17-49)
 _RHO_NORMAL = 0
 _RHO_EQ = 1
@@ -541,7 +569,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             stall = jnp.where(
                 score < 0.95 * c.ref_best, 0, c.ref_stall + 1
             )
-            near_switch = rel < 50.0 * dyn.kkt_refine_switch
+            near_switch = rel < REFINE_NEAR_SWITCH * dyn.kkt_refine_switch
             # Last-resort escape (ADVICE r4): a problem whose plain-f32
             # residual floor sits MORE than 50x above the switch (extreme
             # kappa) would otherwise never engage refinement and run to
@@ -551,8 +579,8 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             # checks on every measured repro).
             trip = (
                 (rel < dyn.kkt_refine_switch)
-                | ((stall >= 4) & near_switch)
-                | (stall >= 16)
+                | ((stall >= REFINE_STALL_CHECKS) & near_switch)
+                | (stall >= REFINE_STALL_LAST_RESORT)
             ) & ~c.refine_on
             c = c._replace(
                 refine_on=c.refine_on | trip,
@@ -631,14 +659,16 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             # honest crawl (score ~ best) trips without striking, so the
             # suspension TOGGLE keeps working there (minres min-eig: toggling
             # converges 3.5k iters, a stagnation-count kill never converges).
-            strike = trip & ~aa.disabled & (score > 100.0 * aa.best_score)
+            strike = trip & ~aa.disabled & (
+                score > AA_STRIKE_FACTOR * aa.best_score)
             n_trips = aa.n_trips + strike.astype(jnp.int32)
-            dead = n_trips >= 2
+            dead = n_trips >= AA_STRIKE_KILL
             # never re-enable a suspended accelerator while the residuals
             # sit far above the best seen (that state means AA divergence
             # is being repaired by plain ADMM — rearming AA there just
             # restarts the blow-up/repair cycle)
-            trip &= (~aa.disabled | (score <= 10.0 * aa.best_score)) & ~dead
+            trip &= (~aa.disabled
+                     | (score <= AA_REARM_FACTOR * aa.best_score)) & ~dead
             c = c._replace(aa=aa._replace(
                 best_score=jnp.minimum(aa.best_score, score),
                 stall_checks=jnp.where(trip, 0, stall),
@@ -669,7 +699,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
                 # (measured on the minres min-eig SDP: rho oscillates
                 # 0.09<->0.58 forever, each re-expression killing the plain-
                 # ADMM crawl that otherwise converges)
-                fire = trip & far & (c.n_forced < 2)
+                fire = trip & far & (c.n_forced < FORCED_RHO_BUDGET)
                 c = c._replace(rho_force=c.rho_force | fire,
                                n_forced=c.n_forced + fire.astype(jnp.int32))
         return c
@@ -771,7 +801,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         stagnant = stag_score & near
         stag_chks = jnp.where(stagnant, c.stag_chks + 1, 0)
         win = jnp.where(
-            stag_chks >= 2,
+            stag_chks >= ESCALATE_STAG_CHECKS,
             jnp.clip(c.inf_win * 4, 8, 512),
             jnp.asarray(INFEAS_PLAIN_WINDOW, jnp.int32),
         )

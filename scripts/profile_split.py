@@ -222,6 +222,45 @@ def main():
                 return 0.999 * w + 0.001 * jnp.concatenate([xg, nu])
             emit("kkt_bspace", _loop_timed(kkt_bspace, wb0, rl, rh))
 
+        # refined (endgame) bspace solve — the in-solve endgame path
+        if blockkkt.supports_blockspace(meta):
+            st_pair_b = blockkkt.factor(meta, Pdev, Adev, 1e-6, rho,
+                                        build_pair=True)
+            nb2 = blockkkt.blockspace_dim(meta)
+            wb02 = jnp.asarray(rng.standard_normal(nb2 + m), dtype) * 0.1
+
+            def kkt_bspace_ref(w):
+                xg, nu = blockkkt.solve_blockspace(meta, st_pair_b, rho,
+                                                   w[:nb2], w[nb2:], 1)
+                return 0.999 * w + 0.001 * jnp.concatenate([xg, nu])
+            emit("kkt_bspace_ref1", _loop_timed(kkt_bspace_ref, wb02, rl, rh))
+
+        # bspace residuals: rows gather only / nu scatter only — the two
+        # m-side movements that remain after the block-space x carry
+        if blockkkt.supports_blockspace(meta):
+            def kkt_rows_gather(w):
+                r2p = jnp.concatenate([w[n:], jnp.zeros(1, dtype)])
+                acc = jnp.zeros((), dtype)
+                for bkt in meta.buckets:
+                    acc = acc + jnp.sum(r2p[jnp.asarray(bkt.row_ids)])
+                return w * 0.9999 + 1e-30 * acc
+            emit("kkt_rows_gather", _loop_timed(kkt_rows_gather, w0, rl, rh))
+
+            nubs0 = [jnp.asarray(rng.standard_normal((bkt.N, bkt.R)), dtype)
+                     for bkt in meta.buckets]
+
+            def kkt_nu_scatter(w):
+                nu_out = jnp.concatenate([rho * (0.0 - w[n:]),
+                                          jnp.zeros(1, dtype)])
+                c0 = w[0]
+                for i2, bkt in enumerate(meta.buckets):
+                    nu_out = nu_out.at[
+                        jnp.asarray(bkt.row_ids).reshape(-1)
+                    ].set((nubs0[i2] * c0).reshape(-1))
+                return 0.999 * w + 0.001 * jnp.concatenate(
+                    [w[:n], nu_out[:-1]])
+            emit("kkt_nu_scatter", _loop_timed(kkt_nu_scatter, w0, rl, rh))
+
         # gathers only: all bucket input gathers, reduced to a scalar
         def kkt_gathers(w):
             r1p = jnp.concatenate([w[:n], jnp.zeros(1, dtype)])
