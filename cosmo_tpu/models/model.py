@@ -614,7 +614,11 @@ class Model:
             if out is not None:
                 pass  # the probe already finished the solve
             elif (settings.time_limit and settings.time_limit > 0) or (
-                dispatch_chunk > 0 and settings.max_iter > dispatch_chunk
+                # enter chunked mode as soon as a solve could exceed the
+                # 500-iteration start chunk: the relay-degradation regime
+                # (see _solve_chunked) starts well below the 2000-iteration
+                # auto cap
+                dispatch_chunk > 0 and settings.max_iter > min(dispatch_chunk, 500)
             ):
                 # chunked solving re-entered through the loop carry so the
                 # wall clock can be checked between device calls (reference
@@ -904,10 +908,16 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
         # so fixed small chunks taxed long solves ~25% (measured at
         # banded-2000 with 250-iteration chunks)
         chunk = max(int(settings.check_termination) * 10, 50)
-        if dispatch_chunk > 0:
-            chunk = min(chunk, dispatch_chunk)
     else:
-        chunk = dispatch_chunk
+        # the axon relay DEGRADES on long single dispatches well before the
+        # outright worker-crash regime: at the 10k north-star (m=1.44M) the
+        # identical program measured 14.7 ms/iter in 500-1000-iteration
+        # chunks vs 54.8 at one 2000-iteration chunk and up to 292 on a
+        # single 2000-iteration dispatch — start at 500 and let the growth
+        # rule below find the ~5 s device-time sweet spot
+        chunk = 500
+    if dispatch_chunk > 0:
+        chunk = min(chunk, dispatch_chunk)
     limit = int(np.asarray(carry.iter)) + int(np.asarray(carry.sg_iter)) if carry is not None else 0
     # live residual rows between chunks: the on-TPU verbose path (in-loop
     # jax.debug.print is unavailable on the axon relay — static.verbose is
@@ -951,10 +961,11 @@ def _solve_chunked(self, Pd, Ad, qd, bd, cones, x0d, s0d, mu0d, dyn, static,
             out = dict(out)
             out["status"] = np.asarray(results_mod.TIME_LIMIT_REACHED)
             break
-        if timed:
-            # grow toward ~5 s device chunks (never past the dispatch cap)
-            per_iter = (time.perf_counter() - t_chunk) / max(limit - it_before, 1)
-            chunk = int(min(max(5.0 / max(per_iter, 1e-9), chunk), chunk_cap))
+        # grow toward ~5 s device chunks (never past the dispatch cap) —
+        # the same target bounds the relay-degradation regime measured on
+        # long dispatches (see the chunk-start comment above)
+        per_iter = (time.perf_counter() - t_chunk) / max(limit - it_before, 1)
+        chunk = int(min(max(5.0 / max(per_iter, 1e-9), chunk), chunk_cap))
     return out
 
 

@@ -271,6 +271,43 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         def x_from_block(xg):
             return xg
     qx = x_to_block(q)
+
+    # Compensated residual checks through the block-dense A: the global
+    # df32 COO pass is an [m, width] ELL gather + pairwise tree — measured
+    # 407 ms per compensated check at the 10k north-star (m = 1.44M), i.e.
+    # ~16 ms/iter amortized at the default check interval, vs ~9 ms per
+    # check through the cached [N, R, k] Ad tensors (blockkkt.
+    # compensated_residuals). Applies whenever the block-space carry does.
+    from .ops import df32 as df32_ops
+    from .ops.linops import Coo as _Coo
+
+    use_bspace_res = use_bspace and isinstance(P, _Coo)
+    if use_bspace_res:
+        _res_covered = blockkkt.covered_rows_mask(kkt_block, m)
+        _p_has_nnz = int(P.vals.shape[0]) > 0
+
+        def _gather_to_block(v):
+            return jnp.concatenate([v, jnp.zeros(1, dtype)])[cols_map]
+
+    def _bspace_comp_res(c, x_k, s_k, mu_k, sm, scaled: bool):
+        """(rp, rd, mp, md) in double-f32 via the block-dense A. ``sm`` is
+        closed over by the callers' scope; pass it explicitly so this can
+        be defined before setup runs."""
+        if scaled:
+            Einv_v, Dv, cinv_v = sm.Einv, sm.Dinv, sm.cinv
+        else:
+            Einv_v = jnp.ones(m, dtype)
+            Dv = jnp.ones(n, dtype)
+            cinv_v = jnp.ones((), dtype)
+        Dg = _gather_to_block(Dv)
+        Px_pair_g = None
+        if _p_has_nnz:
+            pxh, pxl = df32_ops.matvec2(P, df32_ops.promote(x_k))
+            Px_pair_g = (_gather_to_block(pxh), _gather_to_block(pxl))
+        return blockkkt.compensated_residuals(
+            kkt_block, c.kkt, c.w_prev[:nx], s_k, mu_k, b, qx,
+            Einv_v, Dg, cinv_v, Px_pair_g, covered=_res_covered,
+        )
     if custom_kkt:
         # user plug-in (reference: AbstractKKTSolver, kktsolver.jl:5-11)
         kkt_state = static.kkt_solver.setup(P, A, dyn.sigma, rho_vec)
@@ -459,9 +496,14 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         mu_k = recover_mu(c.w_prev, c.s, c.rho_vec)
         x_k = x_from_block(c.w_prev[:nx])
         if compensated_res:
+            comp_fn = (
+                (lambda _: _bspace_comp_res(c, x_k, c.s, mu_k, sm, False))
+                if use_bspace_res
+                else (lambda _: _rho_residuals(c, x_k, mu_k, True))
+            )
             rp, rd, mp, md = lax.cond(
                 c.refine_on,
-                lambda _: _rho_residuals(c, x_k, mu_k, True),
+                comp_fn,
                 lambda _: _rho_residuals(c, x_k, mu_k, False),
                 None,
             )
@@ -515,10 +557,17 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         if not compensated_res:
             return res_ops.result_info(P, A, q, b, x_k, s, mu_k, sm,
                                        compensated=False)
+        if use_bspace_res:
+            def _comp(_):
+                rp, rd, mp, md = _bspace_comp_res(c, x_k, s, mu_k, sm, True)
+                return res_ops.ResInfo(rp, rd, mp, md)
+        else:
+            def _comp(_):
+                return res_ops.result_info(P, A, q, b, x_k, s, mu_k, sm,
+                                           compensated=True)
         return lax.cond(
             c.refine_on,
-            lambda _: res_ops.result_info(P, A, q, b, x_k, s, mu_k, sm,
-                                          compensated=True),
+            _comp,
             lambda _: res_ops.result_info(P, A, q, b, x_k, s, mu_k, sm,
                                           compensated=False),
             None,

@@ -325,6 +325,29 @@ def main():
             return 0.999 * w + 0.001 * jnp.concatenate([xt, nu])
         emit("kkt_refined1", _loop_timed(kkt_refined, w0, rl, rh))
 
+    # ---- termination-check residual passes (plain / compensated Coo) ----
+    if want("res"):
+        from cosmo_tpu.ops import residuals as res_ops
+        from cosmo_tpu.ops import scaling as scaling_mod
+
+        sm_id = scaling_mod.identity_scale(m, n, dtype)
+        xs0 = jnp.asarray(rng.standard_normal(n), dtype) * 0.01
+        mu0m = jnp.asarray(rng.standard_normal(m), dtype) * 0.01
+        sv0 = jnp.asarray(rng.standard_normal(m), dtype) * 0.01
+
+        def mk(comp):
+            def body(carry):
+                xv, muv, sv = carry
+                info = res_ops.result_info(Pdev, Adev, qd, bd, xv, sv, muv,
+                                           sm_id, compensated=comp)
+                f = 0.999 + 1e-6 * jnp.tanh(info.r_prim + info.r_dual)
+                return (xv * f, muv * f, sv * f)
+            return body
+        emit("check_plain", _loop_timed(mk(False), (xs0, mu0m, sv0),
+                                        max(a.reps // 16, 5), a.reps // 4))
+        emit("check_comp", _loop_timed(mk(True), (xs0, mu0m, sv0),
+                                       max(a.reps // 16, 5), a.reps // 4))
+
     # ---- O(m+n) vector chain ----
     if want("vec"):
         w0 = jnp.concatenate([jnp.zeros(n, dtype), w2_0])

@@ -126,3 +126,55 @@ def test_blockdiag_time_limit_chunked():
     m.set(P, q, A, b, sets)
     r = m.optimize()
     assert r.status == "Solved"
+
+
+def test_compensated_residuals_match_coo_path():
+    """blockkkt.compensated_residuals (the block-dense df32 check path,
+    solver._bspace_comp_res) reproduces the global COO compensated
+    residuals — scaled and unscaled — on a real decomposed problem.
+    (Reduction orders differ, so agreement is to f64-roundoff here, not
+    bitwise; the COO pass measured 407 ms/check at the 10k north-star vs
+    ~9 ms through the cached Ad tensors.)"""
+    from cosmo_tpu.ops import df32, residuals as res_ops, scaling
+
+    Pd, Ad = _decomposed_problem()
+    meta = blockkkt.analyze(Pd, Ad, max_block=64)
+    assert meta is not None and blockkkt.supports_blockspace(meta)
+    m, n = Ad.shape
+    Pdev = linops.coo_from_scipy(Pd, np.float64)
+    Adev = linops.coo_from_scipy(Ad, np.float64)
+    rng = np.random.default_rng(5)
+    rho = jnp.asarray(rng.uniform(0.05, 2.0, m))
+    st = blockkkt.factor(meta, Pdev, Adev, 1e-6, rho)
+
+    x = jnp.asarray(rng.standard_normal(n))
+    s = jnp.asarray(rng.standard_normal(m))
+    mu = jnp.asarray(rng.standard_normal(m))
+    q = jnp.asarray(rng.standard_normal(n))
+    b = jnp.asarray(rng.standard_normal(m))
+    cols = blockkkt.blockspace_cols(meta)
+    xg = jnp.concatenate([x, jnp.zeros(1)])[cols]
+    qg = jnp.concatenate([q, jnp.zeros(1)])[cols]
+
+    for scaled in (False, True):
+        if scaled:
+            E = jnp.asarray(rng.uniform(0.5, 2.0, m))
+            D = jnp.asarray(rng.uniform(0.5, 2.0, n))
+            c = 1.7
+            sm = scaling.ScaleMats(D=1.0 / D, E=1.0 / E, c=1.0 / c,
+                                   Dinv=D, Einv=E, cinv=c)
+        else:
+            sm = scaling.identity_scale(m, n, jnp.zeros(0).dtype)
+        rp0, rd0 = res_ops.calculate_residuals(
+            Pdev, Adev, q, b, x, s, mu, sm, compensated=True)
+        mp0, md0 = res_ops.max_res_component_norm(
+            Pdev, Adev, q, b, x, s, mu, sm, compensated=True)
+        Dg = jnp.concatenate([sm.Dinv, jnp.zeros(1)])[cols]
+        pxh, pxl = df32.matvec2(Pdev, df32.promote(x))
+        px_g = (jnp.concatenate([pxh, jnp.zeros(1)])[cols],
+                jnp.concatenate([pxl, jnp.zeros(1)])[cols])
+        rp1, rd1, mp1, md1 = blockkkt.compensated_residuals(
+            meta, st, xg, s, mu, b, qg, sm.Einv, Dg, sm.cinv, px_g)
+        for a0, a1 in [(rp0, rp1), (rd0, rd1), (mp0, mp1), (md0, md1)]:
+            np.testing.assert_allclose(float(a0), float(a1),
+                                       rtol=1e-12, atol=1e-13)
