@@ -583,14 +583,18 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         status = jnp.where(jnp.abs(cost) > 1e20, results.UNSOLVED, status)
 
         conv = res_ops.has_converged(info, dyn.eps_abs, dyn.eps_rel)
+        conv_plain = conv
         if refine_gated:
             # Never declare SOLVED off an uncompensated measurement: a solve
             # that jumps from rel > kkt_refine_switch to below tolerance
             # within one check interval would otherwise terminate on a
             # plain-f32 residual that can sit at the noise floor (ADVICE r4).
-            # Requiring the latch costs at most one extra check interval —
-            # `conv` implies rel < switch, so the latch trips this same check
-            # and the next check measures compensated.
+            # `conv_plain` feeds the latch trip below, so a plain-converged
+            # solve latches THIS check and the next check confirms
+            # compensated — at most one extra interval even when eps is
+            # looser than the switch (where rel never crosses it and a
+            # still-improving plain solve would defer the stall fallback
+            # check after check).
             conv &= c.refine_on
         if static.check_obj_true:
             conv &= jnp.abs(dyn.obj_true - cost) <= dyn.obj_true_tol
@@ -628,6 +632,7 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             # checks on every measured repro).
             trip = (
                 (rel < dyn.kkt_refine_switch)
+                | conv_plain
                 | ((stall >= REFINE_STALL_CHECKS) & near_switch)
                 | (stall >= REFINE_STALL_LAST_RESORT)
             ) & ~c.refine_on

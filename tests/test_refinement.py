@@ -248,3 +248,26 @@ def test_f32_dense_kkt_inverse_apply_gated_on_accelerator():
     assert isinstance(st.Minv, tuple)
     st_inv = kkt_ops.dense_factor(Pf, Af, 1e-6, rho, use_inverse=True)
     assert not isinstance(st_inv.Minv, tuple)
+
+
+def test_loose_eps_converges_without_refined_crawl():
+    """A refine-gated f32 solve at eps LOOSER than kkt_refine_switch must
+    terminate promptly: plain convergence itself trips the latch (one
+    compensated confirmation follows), instead of waiting for the
+    stagnation fallback while the plain residual keeps improving 5% per
+    check (solver.check_termination conv_plain). Asserts outcome, not
+    iteration counts (counts are chaotic by design)."""
+    from cosmo_tpu import problems
+
+    P, q, A, b, sets, _ = problems.banded_sdp(n_nodes=60, bandwidth=5,
+                                              seed=3, sparse=True)
+    m = ct.Model(ct.Settings(eps_abs=1e-3, eps_rel=1e-3, decompose=True,
+                             dtype=np.float32, max_iter=6000))
+    m.set(P, q, A, b, sets)
+    r = m.optimize()
+    assert r.status == "Solved"
+    # quality sanity vs a tight solve
+    m2 = ct.Model(ct.Settings(eps_abs=1e-6, eps_rel=1e-6, decompose=True))
+    m2.set(P, q, A, b, sets)
+    r2 = m2.optimize()
+    assert abs(r.obj_val - r2.obj_val) < 5e-2 * max(1.0, abs(r2.obj_val))
