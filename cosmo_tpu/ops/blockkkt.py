@@ -193,8 +193,8 @@ def analyze(P, A, max_block: int = 64) -> BlockKKTMeta | None:
             pcol[pmask]
         ]
 
-        # block-structured A: rows of this bucket's components, padded to a
-        # power-of-2 R (the df32 pairwise reductions need pow2 lanes)
+        # block-structured A: rows of this bucket's components, padded to
+        # the bucket's exact max rows R
         rows_nz = np.nonzero(counts > 0)[0]
         rcomp = labels[ac[row_start[rows_nz]]]          # component per row
         rmask = local[rcomp] >= 0
@@ -437,8 +437,9 @@ def _block_rmatvec(meta: BlockKKTMeta, state, y):
 
 def _block_rhs2(meta: BlockKKTMeta, state, rho_vec, r1, r2):
     """Compensated t = r1 + A'(rho r2) via the block-dense A (replaces the
-    global COO df32 pass; the pairwise reduction runs over the pow2-padded
-    row axis)."""
+    global COO df32 pass). R is the bucket's exact max rows per component;
+    df32._pairwise_sum pads its reduction axis to a power of two
+    internally, so no pow2 padding of R is needed (or present) here."""
     dtype = r1.dtype
     ph, pl = df32.two_prod(rho_vec, r2)
     php = jnp.concatenate([ph, jnp.zeros(1, dtype)])
@@ -451,7 +452,7 @@ def _block_rhs2(meta: BlockKKTMeta, state, rho_vec, r1, r2):
         yl = plp[b.row_ids][:, :, None]
         p, e = df32.two_prod(Ad, yh)
         e = e + Ad * yl
-        # reduce over the row axis: move R last (pow2-padded in analyze)
+        # reduce over the row axis: move R last
         hi, lo = df32._pairwise_sum(
             jnp.swapaxes(p, 1, 2), jnp.swapaxes(e, 1, 2), axis=2
         )                                           # [N, k]

@@ -410,7 +410,15 @@ def compile_cones(sets: List[C.ConvexSet], dtype=np.float64, psd_pad_to: int = 8
     # the largest small side), which costs more than the saved dispatches —
     # only collapse pathological shape diversity to bound compile time
     if psd_pad_to > 1:
-        small_sides = [k for k in norm_groups if k <= 48]
+        # colpad groups are excluded: their gather/scatter templates are
+        # built at the block's own storage stride r == k, and merging an
+        # r < k colpad block into a larger-side bucket would index past its
+        # r*r region into neighboring cones' rows (colpad storage has no
+        # in-bucket ladder padding by design — the side IS the stride)
+        small_sides = [
+            k for k, blocks in norm_groups.items()
+            if k <= 48 and not any(kind == "colpad" for (_, _, kind) in blocks)
+        ]
         if len(small_sides) > 6:
             target = max(small_sides)
             merged = []

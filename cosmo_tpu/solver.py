@@ -286,9 +286,6 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
         _res_covered = blockkkt.covered_rows_mask(kkt_block, m)
         _p_has_nnz = int(P.vals.shape[0]) > 0
 
-        def _gather_to_block(v):
-            return jnp.concatenate([v, jnp.zeros(1, dtype)])[cols_map]
-
     def _bspace_comp_res(c, x_k, s_k, mu_k, sm, scaled: bool):
         """(rp, rd, mp, md) in double-f32 via the block-dense A. ``sm`` is
         closed over by the callers' scope; pass it explicitly so this can
@@ -299,11 +296,11 @@ def solve(P, A, q, b, cones, x0, s0, mu0, dyn: DynConfig, static: StaticConfig,
             Einv_v = jnp.ones(m, dtype)
             Dv = jnp.ones(n, dtype)
             cinv_v = jnp.ones((), dtype)
-        Dg = _gather_to_block(Dv)
+        Dg = x_to_block(Dv)
         Px_pair_g = None
         if _p_has_nnz:
             pxh, pxl = df32_ops.matvec2(P, df32_ops.promote(x_k))
-            Px_pair_g = (_gather_to_block(pxh), _gather_to_block(pxl))
+            Px_pair_g = (x_to_block(pxh), x_to_block(pxl))
         return blockkkt.compensated_residuals(
             kkt_block, c.kkt, c.w_prev[:nx], s_k, mu_k, b, qx,
             Einv_v, Dg, cinv_v, Px_pair_g, covered=_res_covered,

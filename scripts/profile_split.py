@@ -149,6 +149,10 @@ def main():
                     T = (Y.reshape(Bb, bkt.side * bkt.side) @ bkt.compress)
                     s = lax.dynamic_update_slice(
                         w2, T.reshape(-1), (bkt.contig_start,))
+                elif bkt.fastpath == "colpad":
+                    T = jnp.swapaxes(Y, -1, -2) * bkt.cp_csc[None]
+                    s = lax.dynamic_update_slice(
+                        w2, T.reshape(-1), (bkt.contig_start,))
                 elif bkt.fastpath == "shear":
                     Bb = bkt.gather_idx.shape[0]
                     r0 = bkt.r0
@@ -171,6 +175,10 @@ def main():
                 if bkt.fastpath == "matmul":
                     Bb = bkt.gather_idx.shape[0]
                     T = (Y.reshape(Bb, bkt.side * bkt.side) @ bkt.compress)
+                    s = lax.dynamic_update_slice(
+                        w2, T.reshape(-1), (bkt.contig_start,))
+                elif bkt.fastpath == "colpad":
+                    T = jnp.swapaxes(Y, -1, -2) * bkt.cp_csc[None]
                     s = lax.dynamic_update_slice(
                         w2, T.reshape(-1), (bkt.contig_start,))
                 elif bkt.fastpath == "shear":

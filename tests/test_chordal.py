@@ -483,3 +483,37 @@ def test_colpad_conedata_projection_matches_tri():
         Y * bkt_c.scatter_scale)[:-1]
     s_legacy = np.asarray(s_legacy)
     assert np.allclose(s_legacy, s_c, atol=1e-12)
+
+
+def test_colpad_blocks_survive_small_bucket_consolidation():
+    """Reviewer repro: >6 distinct small sides trigger the small-bucket
+    consolidation (ops/conedata.py); colpad blocks must NOT be merged into
+    a larger-side bucket — their index templates are built at the block's
+    own storage stride, and merging an r < k block made the maps read and
+    scatter-write past its r*r region into neighboring cones' rows."""
+    import jax.numpy as jnp
+
+    from cosmo_tpu.models import cones as C
+    from cosmo_tpu.ops import conedata, projections
+
+    rng = np.random.default_rng(11)
+    sides = (9, 10, 11, 12, 13)
+    sets = [C.PsdConeTriangleColPad(r * r) for r in sides]
+    sets += [C.PsdConeTriangle(8 * 9 // 2), C.PsdConeTriangle(6 * 7 // 2),
+             C.PsdConeTriangle(5 * 6 // 2), C.PsdConeTriangle(4 * 5 // 2),
+             C.PsdConeTriangle(3 * 4 // 2), C.PsdConeTriangle(2 * 3 // 2),
+             C.PsdConeTriangle(1)]
+    dim = sum(s.dim for s in sets)
+    cones = conedata.compile_cones(sets, dtype=np.float64)
+    v = rng.standard_normal(dim)
+    s_all, _ = projections.project(jnp.asarray(v), cones, ())
+    s_all = np.asarray(s_all)
+    # reference: project each cone independently
+    off = 0
+    for s_ in sets:
+        c1 = conedata.compile_cones([type(s_)(s_.dim)], dtype=np.float64)
+        s_one, _ = projections.project(jnp.asarray(v[off:off + s_.dim]), c1, ())
+        np.testing.assert_allclose(s_all[off:off + s_.dim],
+                                   np.asarray(s_one), atol=1e-12,
+                                   err_msg=f"cone at offset {off} corrupted")
+        off += s_.dim
