@@ -190,6 +190,38 @@ def test_settings_from_dict_and_unknown_key():
         ct.Settings.from_dict({"nope": 1})
 
 
+def test_settings_accepts_every_reference_keyword():
+    """Every keyword of the reference constructor (settings.jl:101-139) is
+    a valid cosmo_tpu setting under the same name — the name-compatibility
+    contract documented in docs/migration.md. Values are the reference
+    defaults (solver-class options as their string spellings)."""
+    ref_kwargs = {
+        "rho": 0.1, "sigma": 1e-6, "alpha": 1.6,
+        "eps_abs": 1e-5, "eps_rel": 1e-5, "nearly_ratio": 100.0,
+        "eps_prim_inf": 1e-4, "eps_dual_inf": 1e-4,
+        "max_iter": 5000, "verbose": False, "kkt_solver": "dense",
+        "check_termination": 25, "check_infeasibility": 40,
+        "scaling": 10, "MIN_SCALING": 1e-4, "MAX_SCALING": 1e4,
+        "adaptive_rho": True, "adaptive_rho_interval": 40,
+        "adaptive_rho_tolerance": 5.0, "adaptive_rho_fraction": 0.4,
+        "adaptive_rho_max_adaptions": 2**31 - 1,
+        "verbose_timing": False, "RHO_MIN": 1e-6, "RHO_MAX": 1e6,
+        "RHO_TOL": 1e-4, "RHO_EQ_OVER_RHO_INEQ": 1e3,
+        "COSMO_INFTY": 1e20, "decompose": True, "complete_dual": False,
+        "time_limit": 0.0, "obj_true": float("nan"),
+        "obj_true_tol": 1e-3, "merge_strategy": "clique_graph",
+        "compact_transformation": True, "accelerator": "anderson",
+        "safeguard": True, "safeguard_tol": 2.0,
+    }
+    s = ct.Settings.from_dict(ref_kwargs)
+    for key, val in ref_kwargs.items():
+        got = getattr(s, key)
+        if isinstance(val, float) and np.isnan(val):
+            assert np.isnan(got), key
+        else:
+            assert got == val, key
+
+
 def test_verbose_printing_smoke():
     P, q, A, b, sets = _qp()
     model = ct.Model(ct.Settings(verbose=True, eps_abs=1e-5, eps_rel=1e-5))
